@@ -1,0 +1,55 @@
+"""Central configuration for the TPU face pipeline.
+
+The reference scatters its tunables across C++ defaults (reference:
+src/face_detector.h:20 score 0.5 / NMS IoU 0.4; src/main.cpp:118 match
+threshold 0.6; src/face_detector.cpp:8-9 640x640 detector input;
+src/face_recognizer.cpp:8-10 112x112 input, 512-d features). Here they
+live in one dataclass that every stage reads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # --- detector (reference: src/face_detector.cpp:8-9, face_detector.h:20)
+    det_input_size: int = 640
+    score_threshold: float = 0.5
+    nms_threshold: float = 0.4
+    # SCRFD anchor layout: strides with 2 anchors per location
+    # (InsightFace SCRFD decode semantics; the reference never implements
+    # this decode — see SURVEY.md §2 quirk — we do the full version).
+    strides: Tuple[int, ...] = (8, 16, 32)
+    num_anchors: int = 2
+    # Static-shape bounds: pre-NMS top-K candidates and max faces returned.
+    pre_nms_topk: int = 512
+    max_faces: int = 128
+
+    # --- recognizer (reference: src/face_recognizer.cpp:8-10)
+    rec_input_size: int = 112
+    feature_dim: int = 512
+
+    # --- matching (reference: src/main.cpp:118, src/face_recognizer.cpp:333)
+    match_threshold: float = 0.6  # on the (cos+1)/2 scale
+
+    # --- normalization (reference: src/face_detector.cpp:127-136)
+    pixel_mean: float = 127.5
+    pixel_scale: float = 128.0
+
+    # --- TPU execution
+    compute_dtype: str = "bfloat16"  # matmul/conv compute dtype on TPU
+    param_dtype: str = "float32"
+    # Mesh axis names used by parallel/ and train/.
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+    # --- model weights
+    detector_weights: Optional[str] = None  # .npz / orbax dir / .onnx
+    recognizer_weights: Optional[str] = None
+    seed: int = 0  # deterministic init when no weights are given
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,73 @@
+"""Fixed-shape greedy NMS for XLA (static shapes, masked loop).
+
+The reference's NMS (src/face_detector.cpp:356-384) sorts by descending
+score and greedily suppresses later boxes with IoU > threshold, where a
+suppressed box never suppresses others. Dynamic vectors don't exist
+under jit, so the same greedy semantics run as a fori_loop over a
+fixed-K score-sorted candidate set with a keep mask; padded slots carry
+score -inf and are never kept.
+
+(The reference computes IoU on integer-truncated rects,
+src/face_detector.cpp:340-354; on device we use float IoU — exact-int
+compatibility is available host-side via runtime/native.py's C++ oracle.)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def iou_matrix(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU between (N, 4) and (M, 4) x1,y1,x2,y2 boxes → (N, M)."""
+    ax1, ay1, ax2, ay2 = (boxes_a[:, i] for i in range(4))
+    bx1, by1, bx2, by2 = (boxes_b[:, i] for i in range(4))
+    ix1 = jnp.maximum(ax1[:, None], bx1[None, :])
+    iy1 = jnp.maximum(ay1[:, None], by1[None, :])
+    ix2 = jnp.minimum(ax2[:, None], bx2[None, :])
+    iy2 = jnp.minimum(ay2[:, None], by2[None, :])
+    iw = jnp.maximum(ix2 - ix1, 0.0)
+    ih = jnp.maximum(iy2 - iy1, 0.0)
+    inter = iw * ih
+    area_a = (ax2 - ax1) * (ay2 - ay1)
+    area_b = (bx2 - bx1) * (by2 - by1)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
+def nms_fixed(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    valid: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over a fixed-size candidate set.
+
+    boxes: (K, 4) x1,y1,x2,y2; scores: (K,); valid: optional (K,) bool.
+    Returns (boxes, scores, keep, order_inv) where boxes/scores are
+    re-sorted by descending score, keep is the (K,) survivor mask in
+    that sorted order, and order_inv holds sorted positions' original
+    indices (for gathering side data like landmarks).
+    """
+    K = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((K,), bool)
+    neg_inf = jnp.float32(-jnp.inf)
+    masked_scores = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-masked_scores)
+    boxes_s = boxes[order]
+    scores_s = masked_scores[order]
+    valid_s = valid[order]
+
+    iou = iou_matrix(boxes_s, boxes_s)
+    later = jnp.triu(jnp.ones((K, K), bool), k=1)  # j strictly after i
+
+    def body(i, keep):
+        # box i only suppresses if it itself is still kept and valid
+        suppress = later[i] & (iou[i] > iou_threshold) & keep[i]
+        return keep & ~suppress
+
+    keep = lax.fori_loop(0, K, body, valid_s)
+    return boxes_s, scores_s, keep, order

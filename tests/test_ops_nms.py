@@ -1,0 +1,81 @@
+"""Fixed-shape NMS parity vs a direct transcription of the reference's
+greedy algorithm (src/face_detector.cpp:356-384, float-IoU variant)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from facerecognizeonnx_tpu.ops.nms import iou_matrix, nms_fixed
+
+
+def greedy_nms_oracle(boxes, scores, thr):
+    """Python transcription of the reference greedy NMS (float IoU)."""
+    order = np.argsort(-scores, kind="stable")
+    boxes = boxes[order]
+    suppressed = np.zeros(len(boxes), bool)
+    for i in range(len(boxes)):
+        if suppressed[i]:
+            continue
+        for j in range(i + 1, len(boxes)):
+            if suppressed[j]:
+                continue
+            ax1, ay1, ax2, ay2 = boxes[i]
+            bx1, by1, bx2, by2 = boxes[j]
+            iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+            ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+            inter = iw * ih
+            union = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
+            if union > 0 and inter / union > thr:
+                suppressed[j] = True
+    return order, ~suppressed
+
+
+def _random_boxes(rng, n):
+    xy = rng.uniform(0, 500, (n, 2))
+    wh = rng.uniform(10, 120, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    return boxes, scores
+
+
+def test_iou_matrix_basics():
+    a = jnp.asarray([[0.0, 0, 10, 10]])
+    b = jnp.asarray([[0.0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]])
+    got = np.asarray(iou_matrix(a, b))[0]
+    np.testing.assert_allclose(got, [1.0, 25 / 175, 0.0], atol=1e-6)
+
+
+def test_nms_matches_greedy_oracle(rng):
+    for trial in range(5):
+        boxes, scores = _random_boxes(rng, 64)
+        order_ref, keep_ref = greedy_nms_oracle(boxes, scores, 0.4)
+        boxes_s, scores_s, keep, order = nms_fixed(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.4
+        )
+        kept_ref = set(map(tuple, boxes[order_ref][keep_ref]))
+        kept_got = set(map(tuple, np.asarray(boxes_s)[np.asarray(keep)]))
+        assert kept_ref == kept_got
+
+
+def test_nms_respects_valid_mask(rng):
+    boxes, scores = _random_boxes(rng, 16)
+    valid = np.zeros(16, bool)
+    valid[:4] = True
+    _, scores_s, keep, _ = nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.4, valid=jnp.asarray(valid)
+    )
+    keep = np.asarray(keep)
+    assert keep.sum() <= 4
+    # padding slots sorted last with -inf scores and never kept
+    assert not keep[4:].any()
+
+
+def test_nms_suppressed_box_does_not_suppress():
+    # Classic chain: A (0.9) overlaps B (0.8) overlaps C (0.7); A∩C empty.
+    # Greedy: A kills B; B (dead) must NOT kill C.
+    # A-B IoU = 60/140 ≈ 0.43, B-C ≈ 0.43, A-C = 20/180 ≈ 0.11
+    boxes = jnp.asarray(
+        [[0.0, 0, 10, 10], [4, 0, 14, 10], [8, 0, 18, 10]], jnp.float32
+    )
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    _, _, keep, _ = nms_fixed(boxes, scores, 0.3)
+    np.testing.assert_array_equal(np.asarray(keep), [True, False, True])
