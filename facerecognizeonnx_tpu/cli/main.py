@@ -1,0 +1,314 @@
+"""CLI entry point — the reference's four modes plus framework extras.
+
+Reference modes (src/main.cpp:289-316, stdout contract README.md:133-169):
+  detect <image>             — detect + report + annotated output
+  compare <img1> <img2>      — detect both, embed faces[0], compare @0.6
+  simple <img1> <img2>       — whole-image embed (no detection), compare
+  webcam [source]            — frame loop; 's' enrolls, 'q' quits
+
+Extras (TPU-framework surface):
+  enroll <dir|images...> --gallery g.npz     — batched gallery enrollment
+  identify <image> --gallery g.npz           — 1:N search
+  bench                                      — quick throughput check
+
+Headless by default: annotated images are written next to the input
+(`<name>_out.jpg`); `--show` opens windows when a display exists.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+from facerecognizeonnx_tpu.config import PipelineConfig
+from facerecognizeonnx_tpu.io.imageio import VideoSource, imread, imwrite
+from facerecognizeonnx_tpu.pipeline.api import FaceDetector, FaceRecognizer
+from facerecognizeonnx_tpu.utils.draw import draw_face_info
+
+
+def _load_models(args):
+    detector = FaceDetector(_cfg(args))
+    if not detector.load_model(args.det_model):
+        print(f"无法加载人脸检测模型: {args.det_model}")
+        sys.exit(-1)
+    recognizer = FaceRecognizer(_cfg(args))
+    if not recognizer.load_model(args.rec_model):
+        print(f"无法加载人脸识别模型: {args.rec_model}")
+        sys.exit(-1)
+    print("\n所有模型加载成功!")
+    return detector, recognizer
+
+
+def _cfg(args) -> PipelineConfig:
+    return PipelineConfig(
+        detector_weights=args.det_model, recognizer_weights=args.rec_model
+    )
+
+
+def _show_or_save(args, name: str, image, src_path: str | None = None):
+    if args.show:
+        import cv2
+
+        cv2.imshow(name, image)
+        cv2.waitKey(0)
+    else:
+        out = (
+            os.path.splitext(src_path)[0] + "_out.jpg"
+            if src_path
+            else f"{name}.jpg"
+        )
+        imwrite(out, image)
+        print(f"结果已保存: {out}")
+
+
+def mode_detect(args):
+    detector, _ = _load_models(args)
+    print("\n=== 测试人脸检测 ===")
+    image = imread(args.images[0])
+    if image is None:
+        print(f"无法读取图像: {args.images[0]}")
+        return
+    print(f"图像尺寸: {image.shape[1]}x{image.shape[0]}")
+    faces = detector.detect(image)
+    print(f"检测到 {len(faces)} 个人脸")
+    for i, f in enumerate(faces):
+        x, y, w, h = f.box
+        print(f"人脸 {i + 1}: 位置({x}, {y}, {w}, {h}) 置信度: {f.score:.6g}")
+        draw_face_info(image, f)
+    _show_or_save(args, "detection", image, args.images[0])
+
+
+def mode_compare(args):
+    detector, recognizer = _load_models(args)
+    print("\n=== 测试人脸识别与比对 ===")
+    image1, image2 = imread(args.images[0]), imread(args.images[1])
+    if image1 is None:
+        print(f"无法读取图像1: {args.images[0]}")
+        return
+    if image2 is None:
+        print(f"无法读取图像2: {args.images[1]}")
+        return
+    print(f"图像1尺寸: {image1.shape[1]}x{image1.shape[0]}")
+    print(f"图像2尺寸: {image2.shape[1]}x{image2.shape[0]}")
+    faces1 = detector.detect(image1)
+    faces2 = detector.detect(image2)
+    if not faces1 or not faces2:
+        print("未检测到人脸")
+        return
+    print(f"图像1检测到 {len(faces1)} 个人脸")
+    print(f"图像2检测到 {len(faces2)} 个人脸")
+    print("提取图像1的人脸特征...")
+    feature1 = recognizer.extract_feature(image1, faces1[0])
+    print("提取图像2的人脸特征...")
+    feature2 = recognizer.extract_feature(image2, faces2[0])
+    if feature1.size == 0 or feature2.size == 0:
+        print("特征提取失败")
+        return
+    print(f"特征维度: {feature1.size}")
+    similarity = recognizer.compare_faces(feature1, feature2)
+    print(f"相似度: {similarity:.6f}")
+    threshold = 0.6  # reference src/main.cpp:118
+    if similarity > threshold:
+        print(f"结果: 同一人 (相似度: {similarity:.6f} > {threshold})")
+    else:
+        print(f"结果: 不同人 (相似度: {similarity:.6f} <= {threshold})")
+    draw_face_info(image1, faces1[0], "Image 1")
+    draw_face_info(image2, faces2[0], "Image 2", similarity)
+    h = max(image1.shape[0], image2.shape[0])
+
+    def pad(im):
+        return np.pad(im, ((0, h - im.shape[0]), (0, 0), (0, 0)))
+
+    _show_or_save(
+        args, "comparison", np.hstack([pad(image1), pad(image2)]), args.images[0]
+    )
+
+
+def mode_simple(args):
+    _, recognizer = _load_models(args)
+    print("\n=== 测试人脸识别与比对（简化模式 - 无检测） ===")
+    image1, image2 = imread(args.images[0]), imread(args.images[1])
+    if image1 is None:
+        print(f"无法读取图像1: {args.images[0]}")
+        return
+    if image2 is None:
+        print(f"无法读取图像2: {args.images[1]}")
+        return
+    print("\n处理图像1...")
+    print(f"原始尺寸: {image1.shape[1]}x{image1.shape[0]}")
+    feature1 = recognizer.extract_feature_simple(image1)
+    print("\n处理图像2...")
+    print(f"原始尺寸: {image2.shape[1]}x{image2.shape[0]}")
+    feature2 = recognizer.extract_feature_simple(image2)
+    if feature1.size == 0 or feature2.size == 0:
+        print("\n特征提取失败")
+        return
+    print(f"\n特征维度: {feature1.size}")
+    similarity = recognizer.compare_faces(feature1, feature2)
+    print(f"\n相似度: {similarity:.6f}")
+    threshold = 0.6
+    if similarity > threshold:
+        print(f"结果: 同一人 (相似度: {similarity:.6f} > {threshold})")
+    else:
+        print(f"结果: 不同人 (相似度: {similarity:.6f} <= {threshold})")
+
+
+def mode_webcam(args):
+    detector, recognizer = _load_models(args)
+    print("\n=== 实时人脸检测 ===")
+    print("按 'q' 退出, 按 's' 保存参考人脸")
+    source = args.images[0] if args.images else 0
+    if isinstance(source, str) and source.isdigit():
+        source = int(source)
+    cap = VideoSource(source)
+    if not cap.is_open():
+        print("无法打开摄像头")
+        return
+    ref_feature = None
+    n_frames = 0
+    t0 = time.time()
+    for frame in cap.frames():
+        faces = detector.detect(frame)
+        if ref_feature is not None and faces:
+            feats = recognizer.extract_features(frame, faces)
+            for face, feat in zip(faces, feats):
+                sim = recognizer.compare_faces(ref_feature, feat)
+                label = "Match" if sim > 0.6 else "Unknown"
+                draw_face_info(frame, face, label, sim)
+        else:
+            for face in faces:
+                draw_face_info(frame, face)
+        n_frames += 1
+        if args.show:
+            import cv2
+
+            info = f"Faces: {len(faces)}"
+            if ref_feature is not None:
+                info += " | Reference set"
+            cv2.putText(
+                frame, info, (10, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (0, 255, 0), 2
+            )
+            cv2.imshow("realtime", frame)
+            key = chr(cv2.waitKey(1) & 0xFF)
+            if key == "q":
+                break
+            if key == "s" and faces:
+                ref_feature = recognizer.extract_feature(frame, faces[0])
+                print("已保存参考人脸特征")
+        elif args.enroll_first and faces and ref_feature is None:
+            ref_feature = recognizer.extract_feature(frame, faces[0])
+            print("已保存参考人脸特征")
+    dt = time.time() - t0
+    cap.release()
+    if n_frames:
+        print(f"frames={n_frames} fps={n_frames / dt:.1f}")
+
+
+def mode_enroll(args):
+    """Batched gallery enrollment (SURVEY.md §2 parallelism checklist)."""
+    detector, recognizer = _load_models(args)
+    from facerecognizeonnx_tpu.match.gallery import GalleryBank
+
+    paths = []
+    for pattern in args.images:
+        if os.path.isdir(pattern):
+            paths += sorted(glob.glob(os.path.join(pattern, "*")))
+        else:
+            paths += sorted(glob.glob(pattern)) or [pattern]
+    bank = GalleryBank.load(args.gallery) if os.path.exists(args.gallery) else GalleryBank()
+    n_ok = 0
+    for path in paths:
+        image = imread(path)
+        if image is None:
+            continue
+        faces = detector.detect(image)
+        if not faces:
+            continue
+        feat = recognizer.extract_feature(image, faces[0])
+        if feat.size:
+            bank.add(os.path.splitext(os.path.basename(path))[0], feat)
+            n_ok += 1
+    bank.save(args.gallery)
+    print(f"已注册 {n_ok}/{len(paths)} 张人脸 → {args.gallery} (共 {len(bank)} 条)")
+
+
+def mode_identify(args):
+    detector, recognizer = _load_models(args)
+    from facerecognizeonnx_tpu.match.gallery import GalleryBank
+
+    bank = GalleryBank.load(args.gallery)
+    image = imread(args.images[0])
+    if image is None:
+        print(f"无法读取图像: {args.images[0]}")
+        return
+    faces = detector.detect(image)
+    if not faces:
+        print("未检测到人脸")
+        return
+    feats = recognizer.extract_features(image, faces)
+    names, sims = bank.search(feats, top_k=min(5, len(bank)))
+    for i, (face, nrow, srow) in enumerate(zip(faces, names, sims)):
+        best = nrow[0] if srow[0] > 0.6 else "Unknown"
+        print(
+            f"人脸 {i + 1}: {best} "
+            + " ".join(f"{n}:{s:.3f}" for n, s in zip(nrow, srow))
+        )
+
+
+def mode_bench(args):
+    from facerecognizeonnx_tpu import bench as bench_mod  # noqa: F401
+
+    print("use `python bench.py` at the repo root for the full benchmark")
+
+
+def main(argv=None):
+    print("InsightFace TPU Demo - buffalo_sc 模型 (facerecognizeonnx_tpu)")
+    print("========================================")
+    parser = argparse.ArgumentParser(prog="facerecognizeonnx_tpu")
+    parser.add_argument(
+        "mode",
+        choices=["detect", "compare", "simple", "webcam", "enroll", "identify"],
+    )
+    parser.add_argument("images", nargs="*")
+    parser.add_argument("--det-model", default=None, help=".npz/.onnx detector weights")
+    parser.add_argument("--rec-model", default=None, help=".npz/.onnx recognizer weights")
+    parser.add_argument("--gallery", default="gallery.npz")
+    parser.add_argument("--show", action="store_true", help="open display windows")
+    parser.add_argument(
+        "--cpu", action="store_true", help="run on host CPU instead of TPU"
+    )
+    parser.add_argument(
+        "--enroll-first",
+        action="store_true",
+        help="webcam: enroll the first detected face automatically (headless 's')",
+    )
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    dispatch = {
+        "detect": mode_detect,
+        "compare": mode_compare,
+        "simple": mode_simple,
+        "webcam": mode_webcam,
+        "enroll": mode_enroll,
+        "identify": mode_identify,
+    }
+    need = {"detect": 1, "compare": 2, "simple": 2, "webcam": 0, "enroll": 1, "identify": 1}
+    if len(args.images) < need[args.mode]:
+        print("无效的命令或参数")
+        return -1
+    dispatch[args.mode](args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,100 @@
+"""Fused on-device alignment + embedding.
+
+Reproduces the reference's extractFeature call stack (SURVEY.md §3.1:
+alignFace → preprocess → Run → L2-normalize, src/face_recognizer.cpp:236-304)
+as one batched XLA program: a whole frame's K faces align and embed in a
+single dispatch, with the crop-fallback for degenerate landmark fits
+expressed as an alternative affine matrix so both paths share the warp.
+
+extractFeatureSimple (src/face_recognizer.cpp:152-234: whole-image
+resize, no detect/align) is the `embed_simple_program`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from facerecognizeonnx_tpu.config import PipelineConfig
+from facerecognizeonnx_tpu.models import arcface
+from facerecognizeonnx_tpu.models.layers import l2_normalize
+from facerecognizeonnx_tpu.ops.image import normalize_to_rgb, resize_bilinear
+from facerecognizeonnx_tpu.ops.umeyama import ARCFACE_DST_5PTS, umeyama
+from facerecognizeonnx_tpu.ops.warp import crop_resize_affine, warp_affine
+
+
+def align_faces(
+    image_u8: jnp.ndarray,
+    kps: jnp.ndarray,
+    boxes: jnp.ndarray,
+    cfg: PipelineConfig,
+) -> jnp.ndarray:
+    """Align K faces of one image to (K, 112, 112, 3) float BGR crops.
+
+    kps: (K, 5, 2) landmarks; boxes: (K, 4) x1,y1,x2,y2 — used only by
+    the fallback path when the similarity fit is degenerate, mirroring
+    the reference (src/face_recognizer.cpp:116-127: crop box ∩ image,
+    resize). Fallback boxes are pre-clipped to the image here.
+    """
+    size = cfg.rec_input_size
+    h, w = image_u8.shape[0], image_u8.shape[1]
+
+    M, valid = umeyama(kps, jnp.asarray(ARCFACE_DST_5PTS))  # (K, 2, 3)
+    clipped = jnp.stack(
+        [
+            jnp.clip(boxes[:, 0], 0.0, w - 1.0),
+            jnp.clip(boxes[:, 1], 0.0, h - 1.0),
+            jnp.clip(boxes[:, 2], 1.0, float(w)),
+            jnp.clip(boxes[:, 3], 1.0, float(h)),
+        ],
+        axis=-1,
+    )
+    M_fb = crop_resize_affine(clipped, size, size)
+    M_sel = jnp.where(valid[:, None, None], M, M_fb)
+    return jax.vmap(lambda m: warp_affine(image_u8, m, size, size))(M_sel)
+
+
+def embed_crops(
+    params,
+    crops_bgr: jnp.ndarray,
+    cfg: PipelineConfig,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """(K, 112, 112, 3) BGR crops → (K, 512) L2-normalized features."""
+    dtype = jnp.dtype(cfg.compute_dtype) if compute_dtype is None else compute_dtype
+    x = normalize_to_rgb(crops_bgr, cfg.pixel_mean, cfg.pixel_scale, dtype=dtype)
+    feats = arcface.apply(params, x, compute_dtype=dtype)
+    return l2_normalize(feats)
+
+
+def embed_program(
+    params,
+    image_u8: jnp.ndarray,
+    kps: jnp.ndarray,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: PipelineConfig,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Frame + K detections → (K, 512) features; invalid slots → zeros.
+
+    Zero features give compareFaces similarity (0+1)/2 = 0.5 … so invalid
+    slots are zeroed to make misuse obvious, matching the reference's
+    empty-vector return on failure (src/face_recognizer.cpp:254-257).
+    """
+    crops = align_faces(image_u8, kps, boxes, cfg)
+    feats = embed_crops(params, crops, cfg, compute_dtype)
+    return feats * valid[:, None].astype(feats.dtype)
+
+
+def embed_simple_program(
+    params,
+    image_u8: jnp.ndarray,
+    cfg: PipelineConfig,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """extractFeatureSimple: whole image → resize 112 → embed → (512,)."""
+    size = cfg.rec_input_size
+    resized = resize_bilinear(image_u8, size, size)
+    feats = embed_crops(params, resized[None], cfg, compute_dtype)
+    return feats[0]

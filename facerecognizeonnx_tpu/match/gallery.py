@@ -1,0 +1,108 @@
+"""1:N identification gallery.
+
+The reference has no gallery (its webcam mode keeps ONE in-memory
+reference feature, src/main.cpp:211-212); this is the scaled-up
+framework surface the BASELINE.json configs require ("1:N
+identification: 100k-embedding gallery cosine-sim matmul search on
+MXU"). Small galleries search on the local device in one matmul; large
+galleries shard rows across the mesh via parallel/sharded_ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+class GalleryBank:
+    def __init__(self, feature_dim: int = 512):
+        self.feature_dim = feature_dim
+        self._names: List[str] = []
+        self._feats = np.zeros((0, feature_dim), np.float32)
+
+    def __len__(self) -> int:
+        return len(self._names)
+
+    @property
+    def names(self) -> List[str]:
+        return list(self._names)
+
+    @property
+    def features(self) -> np.ndarray:
+        return self._feats
+
+    def add(self, name: str, feature: np.ndarray) -> None:
+        feat = np.asarray(feature, np.float32).reshape(1, -1)
+        if feat.shape[1] != self.feature_dim:
+            raise ValueError(
+                f"feature dim {feat.shape[1]} != bank dim {self.feature_dim}"
+            )
+        norm = np.linalg.norm(feat)
+        if norm > 0:
+            feat = feat / norm
+        self._names.append(name)
+        self._feats = np.concatenate([self._feats, feat], axis=0)
+
+    def add_batch(self, names: Sequence[str], features: np.ndarray) -> None:
+        feats = np.asarray(features, np.float32)
+        norms = np.linalg.norm(feats, axis=1, keepdims=True)
+        feats = np.where(norms > 0, feats / np.maximum(norms, 1e-20), feats)
+        self._names.extend(names)
+        self._feats = np.concatenate([self._feats, feats], axis=0)
+
+    # ------------------------------------------------------------ search
+
+    def search(
+        self, queries: np.ndarray, top_k: int = 1, sharded: bool = False
+    ) -> Tuple[List[List[str]], np.ndarray]:
+        """(Q, D) L2-normalized queries → (names [Q][top_k], sims (Q, top_k))
+        on the (cos+1)/2 scale. sharded=True distributes gallery rows over
+        the device mesh (parallel/sharded_ops.sharded_topk_search)."""
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        if len(self) == 0:
+            return [[] for _ in range(len(queries))], np.zeros((len(queries), 0))
+        top_k = min(top_k, len(self))
+        if sharded:
+            from facerecognizeonnx_tpu.parallel.sharded_ops import (
+                sharded_topk_search,
+            )
+
+            sims, idx = sharded_topk_search(queries, self._feats, top_k)
+            sims, idx = np.asarray(sims), np.asarray(idx)
+        else:
+            import jax.numpy as jnp
+
+            from facerecognizeonnx_tpu.match.similarity import similarity_matrix
+
+            sim_all = np.asarray(
+                similarity_matrix(jnp.asarray(queries), jnp.asarray(self._feats))
+            )
+            idx = np.argsort(-sim_all, axis=1)[:, :top_k]
+            sims = np.take_along_axis(sim_all, idx, axis=1)
+        names = [[self._names[j] for j in row] for row in idx]
+        return names, sims
+
+    # ----------------------------------------------------------- persist
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            features=self._feats,
+            names=json.dumps(self._names),
+            feature_dim=self.feature_dim,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "GalleryBank":
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        with np.load(path, allow_pickle=False) as data:
+            bank = cls(feature_dim=int(data["feature_dim"]))
+            bank._feats = np.asarray(data["features"], np.float32)
+            bank._names = list(json.loads(str(data["names"])))
+        return bank

@@ -1,0 +1,207 @@
+"""SCRFD anchor-free face detector (det_500m class) in JAX.
+
+The reference drives `det_500m.onnx` as an opaque graph and then skips
+the real SCRFD decode entirely (reference: src/face_detector.cpp:204-207
+reads only output[0] and assumes pre-decoded rows — SURVEY.md §2 quirk).
+This module implements the actual model contract the ONNX file has:
+
+  input  (B, 640, 640, 3) normalized RGB
+  output 3 strides × {scores (B, H*W*2, 1), bbox (B, H*W*2, 4),
+                      kps (B, H*W*2, 10)}  — 9 tensors, stride 8/16/32,
+  2 anchors per location, distances in stride units
+
+with the full anchor decode living in detect/decode.py.
+
+Architecture: a 500-MFLOP-class depthwise-separable backbone (stage
+widths follow the SCRFD-0.5GF family: 16/16/40/72/152/288), a small FPN
+neck, and an FCOS-style head SHARED across strides with per-stride
+learnable output scales. This is a TPU-first redesign, not a weight-
+compatible clone of the NAS'd reference backbone — real det_500m.onnx
+weights run through the generic ONNX executor (onnx_import/) instead.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from facerecognizeonnx_tpu.models import layers as L
+
+STRIDES = (8, 16, 32)
+NUM_ANCHORS = 2  # anchors per location (scale 1x and 2x), SCRFD convention
+
+# backbone plan: (out_ch, stride) per depthwise-separable block group
+_BACKBONE_PLAN = (
+    (16, 2),   # stem conv: stride 2
+    (16, 1),
+    (40, 2),   # → stride 4
+    (40, 1),
+    (72, 2),   # → stride 8   (C3 tap)
+    (72, 1),
+    (152, 2),  # → stride 16  (C4 tap)
+    (152, 1),
+    (288, 2),  # → stride 32  (C5 tap)
+    (288, 1),
+)
+_TAPS = {72: "c3", 152: "c4", 288: "c5"}
+NECK_CH = 64
+HEAD_CH = 64
+STACKED_CONVS = 2
+
+
+def _dw_sep_init(key, cin, cout):
+    k1, k2 = jax.random.split(key)
+    return {
+        "dw": L.conv_init(k1, 3, 3, cin, cin, groups=cin),
+        "dw_bn": L.bn_init(cin),
+        "dw_prelu": L.prelu_init(cin),
+        "pw": L.conv_init(k2, 1, 1, cin, cout),
+        "pw_bn": L.bn_init(cout),
+        "pw_prelu": L.prelu_init(cout),
+    }
+
+
+def init_params(key, input_size: int = 640) -> Dict:
+    del input_size  # fully convolutional; size only matters at decode
+    n_keys = 1 + len(_BACKBONE_PLAN) + 6 + 2 * STACKED_CONVS + 3
+    keys = iter(jax.random.split(key, n_keys))
+
+    params: Dict = {
+        "stem": {
+            "conv": L.conv_init(next(keys), 3, 3, 3, 16),
+            "bn": L.bn_init(16),
+            "prelu": L.prelu_init(16),
+        }
+    }
+
+    blocks = []
+    cin = 16
+    for cout, _stride in _BACKBONE_PLAN[1:]:
+        blocks.append(_dw_sep_init(next(keys), cin, cout))
+        cin = cout
+    params["backbone"] = blocks
+
+    # FPN neck: lateral 1x1 per tap + 3x3 smoothing after top-down add
+    params["neck"] = {
+        "lat_c3": L.conv_init(next(keys), 1, 1, 72, NECK_CH),
+        "lat_c4": L.conv_init(next(keys), 1, 1, 152, NECK_CH),
+        "lat_c5": L.conv_init(next(keys), 1, 1, 288, NECK_CH),
+        "smooth_p3": L.conv_init(next(keys), 3, 3, NECK_CH, NECK_CH),
+        "smooth_p4": L.conv_init(next(keys), 3, 3, NECK_CH, NECK_CH),
+        "smooth_p5": L.conv_init(next(keys), 3, 3, NECK_CH, NECK_CH),
+    }
+
+    # Shared head: stacked 3x3 convs then 3 prediction convs
+    head: Dict = {"convs": []}
+    cin = NECK_CH
+    for _ in range(STACKED_CONVS):
+        head["convs"].append(
+            {
+                "conv": L.conv_init(next(keys), 3, 3, cin, HEAD_CH),
+                "bn": L.bn_init(HEAD_CH),
+                "prelu": L.prelu_init(HEAD_CH),
+            }
+        )
+        cin = HEAD_CH
+    head["cls"] = L.conv_init(next(keys), 3, 3, HEAD_CH, NUM_ANCHORS * 1)
+    head["bbox"] = L.conv_init(next(keys), 3, 3, HEAD_CH, NUM_ANCHORS * 4)
+    head["kps"] = L.conv_init(next(keys), 3, 3, HEAD_CH, NUM_ANCHORS * 10)
+    # bias the cls conv towards background (focal-style init)
+    head["cls"]["b"] = jnp.full((NUM_ANCHORS,), -4.59, jnp.float32)  # σ≈0.01
+    head["bbox"]["b"] = jnp.zeros((NUM_ANCHORS * 4,), jnp.float32)
+    head["kps"]["b"] = jnp.zeros((NUM_ANCHORS * 10,), jnp.float32)
+    params["head"] = head
+
+    # per-stride learnable scales for the distance regressions
+    params["scales"] = {f"s{s}": jnp.ones((), jnp.float32) for s in STRIDES}
+    return params
+
+
+def _dw_sep_apply(p, x, stride, compute_dtype, train, stats, path):
+    cin = x.shape[-1]
+    y = L.conv2d(p["dw"], x, stride, 1, groups=cin, compute_dtype=compute_dtype)
+    y, s = L.batch_norm(p["dw_bn"], y, train)
+    if train:
+        stats[f"{path}/dw_bn"] = s
+    y = L.prelu(p["dw_prelu"], y)
+    y = L.conv2d(p["pw"], y, 1, 0, compute_dtype=compute_dtype)
+    y, s = L.batch_norm(p["pw_bn"], y, train)
+    if train:
+        stats[f"{path}/pw_bn"] = s
+    y = L.prelu(p["pw_prelu"], y)
+    return y
+
+
+def apply(
+    params: Dict, x: jnp.ndarray, compute_dtype=jnp.float32, train: bool = False
+) -> Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Forward. x: (B, S, S, 3) normalized RGB NHWC.
+
+    Returns {stride: (scores, bbox, kps)} with shapes
+    (B, H*W*A, 1), (B, H*W*A, 4), (B, H*W*A, 10); scores are POST-sigmoid;
+    bbox/kps distances are in stride units (InsightFace SCRFD convention:
+    multiply by stride during decode). Anchor index varies fastest, i.e.
+    rows are [loc0_a0, loc0_a1, loc1_a0, ...] — matching the interleaved
+    anchor-center layout detect/decode.py generates.
+    """
+    x = x.astype(compute_dtype)
+    stats: Dict = {}
+    p = params["stem"]
+    y = L.conv2d(p["conv"], x, 2, 1, compute_dtype=compute_dtype)
+    y, s = L.batch_norm(p["bn"], y, train)
+    if train:
+        stats["stem/bn"] = s
+    y = L.prelu(p["prelu"], y)
+
+    taps = {}
+    for i, ((cout, stride), blk) in enumerate(
+        zip(_BACKBONE_PLAN[1:], params["backbone"])
+    ):
+        y = _dw_sep_apply(blk, y, stride, compute_dtype, train, stats, f"backbone/{i}")
+        if cout in _TAPS and stride == 1:
+            taps[_TAPS[cout]] = y
+
+    n = params["neck"]
+    p5 = L.conv2d(n["lat_c5"], taps["c5"], 1, 0, compute_dtype=compute_dtype)
+    p4 = L.conv2d(n["lat_c4"], taps["c4"], 1, 0, compute_dtype=compute_dtype)
+    p3 = L.conv2d(n["lat_c3"], taps["c3"], 1, 0, compute_dtype=compute_dtype)
+    p4 = p4 + _upsample2x(p5)
+    p3 = p3 + _upsample2x(p4)
+    p3 = L.conv2d(n["smooth_p3"], p3, 1, 1, compute_dtype=compute_dtype)
+    p4 = L.conv2d(n["smooth_p4"], p4, 1, 1, compute_dtype=compute_dtype)
+    p5 = L.conv2d(n["smooth_p5"], p5, 1, 1, compute_dtype=compute_dtype)
+
+    outputs = {}
+    for stride, feat in zip(STRIDES, (p3, p4, p5)):
+        h = feat
+        for ci, cp in enumerate(params["head"]["convs"]):
+            h = L.conv2d(cp["conv"], h, 1, 1, compute_dtype=compute_dtype)
+            h, s = L.batch_norm(cp["bn"], h, train)
+            # head weights (and BNs) are shared across strides; calibrate
+            # from the stride-8 map, which has the most samples
+            if train and stride == STRIDES[0]:
+                stats[f"head/convs/{ci}/bn"] = s
+            h = L.prelu(cp["prelu"], h)
+        scale = params["scales"][f"s{stride}"]
+        cls = L.conv2d(params["head"]["cls"], h, 1, 1, compute_dtype=compute_dtype)
+        bbox = L.conv2d(params["head"]["bbox"], h, 1, 1, compute_dtype=compute_dtype)
+        kps = L.conv2d(params["head"]["kps"], h, 1, 1, compute_dtype=compute_dtype)
+        b, hh, ww, _ = cls.shape
+        scores = jax.nn.sigmoid(cls.astype(jnp.float32)).reshape(b, hh * ww * NUM_ANCHORS, 1)
+        bbox = (bbox.astype(jnp.float32) * scale).reshape(b, hh * ww * NUM_ANCHORS, 4)
+        kps = (kps.astype(jnp.float32) * scale).reshape(b, hh * ww * NUM_ANCHORS, 10)
+        outputs[stride] = (scores, bbox, kps)
+    return (outputs, stats) if train else outputs
+
+
+def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsample (FPN top-down path)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def num_params(params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,209 @@
+"""Reference-compatible public API.
+
+Stateful wrapper classes reproducing the reference component surface
+bit-for-bit in behavior (SURVEY.md §2):
+
+  FaceDetector:   loadModel/load_model, detect                (C2-C6)
+  FaceRecognizer: loadModel, extractFeature/extract_feature,
+                  extractFeatureSimple, compareFaces          (C7-C13)
+
+Under the hood each method dispatches one fused, jit-cached XLA program
+per input-shape bucket — no host work between preprocess and results.
+Reference defaults preserved: score 0.5 / NMS 0.4
+(src/face_detector.h:20), match threshold 0.6 on the (cos+1)/2 scale
+(src/main.cpp:118), 640/112 inputs, 512-d features.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facerecognizeonnx_tpu.config import DEFAULT_CONFIG, PipelineConfig
+from facerecognizeonnx_tpu.detect.pipeline import detect_program
+from facerecognizeonnx_tpu.embed.pipeline import (
+    embed_program,
+    embed_simple_program,
+)
+from facerecognizeonnx_tpu.models import arcface, scrfd
+from facerecognizeonnx_tpu.types import Detections, FaceBox, face_boxes_to_arrays
+from facerecognizeonnx_tpu.utils import checkpoint
+from facerecognizeonnx_tpu.utils.hostinit import init_on_host
+
+
+def _load_weights(path: Optional[str], init_fn, seed: int):
+    """Weights from .npz / .onnx, or deterministic init when path=None."""
+    if path is None:
+        return init_on_host(lambda: init_fn(jax.random.PRNGKey(seed))), True
+    if path.endswith(".onnx"):
+        from facerecognizeonnx_tpu.onnx_import import importer
+
+        return importer.load_onnx_params(path), True
+    try:
+        return checkpoint.load_params(path), True
+    except (OSError, ValueError) as e:
+        print(f"Error loading model: {e}")
+        return None, False
+
+
+class FaceDetector:
+    """SCRFD face detector (reference: src/face_detector.h:14-41)."""
+
+    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
+        self.cfg = config
+        self.params = None
+        self._jit_cache = {}
+
+    # reference: bool loadModel(const std::string&) — src/face_detector.h:19
+    def load_model(self, model_path: Optional[str] = None) -> bool:
+        params, ok = _load_weights(
+            model_path, scrfd.init_params, self.cfg.seed
+        )
+        if not ok:
+            return False
+        self.params = params
+        print("Face detector model loaded successfully!")
+        print(f"Using input size: {self.cfg.det_input_size}x{self.cfg.det_input_size}")
+        return True
+
+    loadModel = load_model
+
+    def detect(
+        self,
+        image: np.ndarray,
+        score_threshold: Optional[float] = None,
+        nms_threshold: Optional[float] = None,
+    ) -> List[FaceBox]:
+        """BGR uint8 (H, W, 3) → FaceBox list in original pixel coords.
+
+        Empty list on missing model / empty image, matching the
+        reference's defensive returns (src/face_detector.cpp:142-156)."""
+        if self.params is None:
+            print("Model not loaded!")
+            return []
+        if image is None or image.size == 0 or image.ndim != 3:
+            print("Input image is empty!")
+            return []
+        dets = self.detect_raw(image, score_threshold, nms_threshold)
+        faces = dets.to_face_boxes()
+        # reference truncates rect coords to int (src/face_detector.cpp:260-265)
+        for f in faces:
+            x1, y1 = int(f.box[0]), int(f.box[1])
+            x2, y2 = int(f.box[0] + f.box[2]), int(f.box[1] + f.box[3])
+            f.box = (x1, y1, x2 - x1, y2 - y1)
+        return faces
+
+    def detect_raw(
+        self,
+        image: np.ndarray,
+        score_threshold: Optional[float] = None,
+        nms_threshold: Optional[float] = None,
+    ) -> Detections:
+        """Full-precision fixed-K Detections (device arrays)."""
+        key = (image.shape, score_threshold, nms_threshold)
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            self._jit_cache[key] = jax.jit(
+                lambda img: detect_program(
+                    self.params, img, cfg, score_threshold, nms_threshold
+                )
+            )
+        return self._jit_cache[key](jnp.asarray(image))
+
+
+class FaceRecognizer:
+    """ArcFace embedder + comparator (reference: src/face_recognizer.h:10-34)."""
+
+    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
+        self.cfg = config
+        self.params = None
+        self._jit_cache = {}
+
+    def load_model(self, model_path: Optional[str] = None) -> bool:
+        params, ok = _load_weights(
+            model_path, arcface.init_params, self.cfg.seed + 1
+        )
+        if not ok:
+            return False
+        self.params = params
+        print("Face recognizer model loaded successfully!")
+        print(f"Using input size: {self.cfg.rec_input_size}x{self.cfg.rec_input_size}")
+        return True
+
+    loadModel = load_model
+
+    def extract_feature(self, image: np.ndarray, face: FaceBox) -> np.ndarray:
+        """Aligned 512-d L2-normalized feature for one face.
+
+        Reference: extractFeature = alignFace → preprocess → Run → L2
+        (src/face_recognizer.cpp:236-304). Empty array on failure."""
+        feats = self.extract_features(image, [face])
+        return feats[0] if len(feats) else np.zeros(0, np.float32)
+
+    extractFeature = extract_feature
+
+    def extract_features(
+        self, image: np.ndarray, faces: Sequence[FaceBox]
+    ) -> np.ndarray:
+        """Batched: all K faces of a frame in ONE device program → (K, 512).
+
+        (The reference embeds faces one Session::Run at a time,
+        src/main.cpp:226 — this batched form is the TPU-native upgrade.)"""
+        if self.params is None:
+            print("Model not loaded!")
+            return np.zeros((0, 512), np.float32)
+        if image is None or image.size == 0 or not faces:
+            print("Input image is empty!")
+            return np.zeros((0, 512), np.float32)
+        k_bucket = max(8, 1 << (len(faces) - 1).bit_length())
+        dets = face_boxes_to_arrays(list(faces), k_bucket)
+        key = ("embed", image.shape, k_bucket)
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            self._jit_cache[key] = jax.jit(
+                lambda img, kps, boxes, valid: embed_program(
+                    self.params, img, kps, boxes, valid, cfg
+                )
+            )
+        feats = self._jit_cache[key](
+            jnp.asarray(image),
+            jnp.asarray(dets.kps),
+            jnp.asarray(dets.boxes),
+            jnp.asarray(dets.valid),
+        )
+        return np.asarray(feats)[: len(faces)]
+
+    def extract_feature_simple(self, image: np.ndarray) -> np.ndarray:
+        """Whole-image resize → embed, no detection/alignment.
+
+        Reference: extractFeatureSimple (src/face_recognizer.cpp:152-234)."""
+        if self.params is None:
+            print("Model not loaded!")
+            return np.zeros(0, np.float32)
+        if image is None or image.size == 0:
+            print("Input image is empty!")
+            return np.zeros(0, np.float32)
+        key = ("simple", image.shape)
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            self._jit_cache[key] = jax.jit(
+                lambda img: embed_simple_program(self.params, img, cfg)
+            )
+        return np.asarray(self._jit_cache[key](jnp.asarray(image)))
+
+    extractFeatureSimple = extract_feature_simple
+
+    @staticmethod
+    def compare_faces(feature1, feature2) -> float:
+        """(dot+1)/2 similarity with the reference's guards
+        (src/face_recognizer.cpp:320-334: 0.0 on size mismatch/empty)."""
+        f1 = np.asarray(feature1, np.float32).ravel()
+        f2 = np.asarray(feature2, np.float32).ravel()
+        if f1.size != f2.size or f1.size == 0:
+            return 0.0
+        return float((np.dot(f1, f2) + 1.0) / 2.0)
+
+    compareFaces = compare_faces

@@ -1,0 +1,127 @@
+"""Torch-CPU oracle implementations for golden-parity tests.
+
+With no ONNX Runtime in the image and no .onnx weight files shipped
+(reference models/README.md documents them as external downloads), the
+numeric oracle for the JAX networks is an independent torch
+re-implementation of the same topology that CONSUMES the same params
+pytree. Different conv backend (oneDNN) + different layout (NCHW) →
+agreement within float tolerance validates both topology wiring and
+numerics (SURVEY.md §4.2).
+"""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x, dtype=np.float32))
+
+
+def conv2d(p, x, stride=1, pad=0, groups=1):
+    w = _t(p["w"]).permute(3, 2, 0, 1)  # HWIO -> OIHW
+    b = _t(p["b"]) if "b" in p else None
+    return F.conv2d(x, w, b, stride=stride, padding=pad, groups=groups)
+
+
+def bn(p, x, eps=1e-5):
+    if x.ndim == 2:
+        return F.batch_norm(
+            x, _t(p["mean"]), _t(p["var"]), _t(p["scale"]), _t(p["bias"]),
+            training=False, eps=eps,
+        )
+    return F.batch_norm(
+        x, _t(p["mean"]), _t(p["var"]), _t(p["scale"]), _t(p["bias"]),
+        training=False, eps=eps,
+    )
+
+
+def prelu(p, x):
+    return F.prelu(x, _t(p["alpha"]))
+
+
+def scrfd_forward(params, x_nhwc: np.ndarray):
+    """Run the SCRFD topology in torch. Returns {stride: (scores, bbox, kps)}
+    with the same shapes/conventions as models/scrfd.py."""
+    from facerecognizeonnx_tpu.models.scrfd import (
+        _BACKBONE_PLAN,
+        _TAPS,
+        NUM_ANCHORS,
+        STRIDES,
+    )
+
+    def dwsep(p, x, stride):
+        cin = x.shape[1]
+        y = conv2d({"w": p["dw"]["w"]}, x, stride, 1, groups=cin)
+        y = bn(p["dw_bn"], y)
+        y = prelu(p["dw_prelu"], y)
+        y = conv2d(p["pw"], y, 1, 0)
+        y = bn(p["pw_bn"], y)
+        y = prelu(p["pw_prelu"], y)
+        return y
+
+    with torch.no_grad():
+        x = torch.from_numpy(np.asarray(x_nhwc, np.float32)).permute(0, 3, 1, 2)
+        p = params["stem"]
+        y = prelu(p["prelu"], bn(p["bn"], conv2d(p["conv"], x, 2, 1)))
+        taps = {}
+        for (cout, stride), blk in zip(_BACKBONE_PLAN[1:], params["backbone"]):
+            y = dwsep(blk, y, stride)
+            if cout in _TAPS and stride == 1:
+                taps[_TAPS[cout]] = y
+        n = params["neck"]
+        p5 = conv2d(n["lat_c5"], taps["c5"], 1, 0)
+        p4 = conv2d(n["lat_c4"], taps["c4"], 1, 0) + F.interpolate(p5, scale_factor=2, mode="nearest")
+        p3 = conv2d(n["lat_c3"], taps["c3"], 1, 0) + F.interpolate(p4, scale_factor=2, mode="nearest")
+        p3 = conv2d(n["smooth_p3"], p3, 1, 1)
+        p4 = conv2d(n["smooth_p4"], p4, 1, 1)
+        p5 = conv2d(n["smooth_p5"], p5, 1, 1)
+        outs = {}
+        for stride, feat in zip(STRIDES, (p3, p4, p5)):
+            h = feat
+            for cp in params["head"]["convs"]:
+                h = prelu(cp["prelu"], bn(cp["bn"], conv2d(cp["conv"], h, 1, 1)))
+            scale = float(np.asarray(params["scales"][f"s{stride}"]))
+            cls = conv2d(params["head"]["cls"], h, 1, 1)
+            bbx = conv2d(params["head"]["bbox"], h, 1, 1) * scale
+            kps = conv2d(params["head"]["kps"], h, 1, 1) * scale
+
+            def r(t, c):
+                # NCHW -> NHWC -> (B, H*W*A, c), anchor fastest
+                t = t.permute(0, 2, 3, 1)
+                b_, hh, ww, _ = t.shape
+                return t.reshape(b_, hh * ww * NUM_ANCHORS, c).numpy()
+
+            outs[stride] = (r(torch.sigmoid(cls), 1), r(bbx, 4), r(kps, 10))
+        return outs
+
+
+def iresnet_forward(params, x_nhwc: np.ndarray) -> np.ndarray:
+    """Run the IResNet topology in torch. x_nhwc: (B, S, S, 3) float32."""
+    with torch.no_grad():
+        x = torch.from_numpy(np.asarray(x_nhwc, np.float32)).permute(0, 3, 1, 2)
+        out = conv2d(params["conv1"], x, 1, 1)
+        out = bn(params["bn1"], out)
+        out = prelu(params["prelu1"], out)
+        for s in (1, 2, 3, 4):
+            for i, blk in enumerate(params[f"layer{s}"]):
+                stride = 2 if i == 0 else 1
+                o = bn(blk["bn1"], out)
+                o = conv2d(blk["conv1"], o, 1, 1)
+                o = bn(blk["bn2"], o)
+                o = prelu(blk["prelu"], o)
+                o = conv2d(blk["conv2"], o, stride, 1)
+                o = bn(blk["bn3"], o)
+                if "down_conv" in blk:
+                    idn = conv2d(blk["down_conv"], out, stride, 0)
+                    idn = bn(blk["down_bn"], idn)
+                else:
+                    idn = out
+                out = o + idn
+        out = bn(params["bn2"], out)
+        # match the JAX NHWC flatten order
+        out = out.permute(0, 2, 3, 1).reshape(out.shape[0], -1)
+        w = _t(params["fc"]["w"])
+        out = out @ w + _t(params["fc"]["b"])
+        out = bn(params["features_bn"], out)
+        return out.numpy()
