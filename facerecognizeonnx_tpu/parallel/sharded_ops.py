@@ -1,0 +1,119 @@
+"""Sharded collective ops: 1:N gallery search and batched embedding.
+
+This is the framework's distributed-communication layer (SURVEY.md §5:
+the reference has NO collective backend; here `jax.lax` collectives
+over the mesh's ICI links are first-class). The 100k-gallery search
+(BASELINE.json config 5) shards gallery ROWS across the "model" axis:
+each chip does a local (Q, D) x (D, G/n) matmul on its MXU plus a local
+top-k, then one small all-gather of k candidates per chip — the
+all-gather moves O(n·k) scalars instead of O(G) similarities.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from facerecognizeonnx_tpu.parallel.mesh import make_mesh
+
+
+def _pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
+    rem = (-x.shape[0]) % multiple
+    if rem == 0:
+        return x
+    return np.concatenate([x, np.zeros((rem,) + x.shape[1:], x.dtype)], axis=0)
+
+
+def sharded_topk_search(
+    queries,
+    gallery,
+    top_k: int,
+    mesh: Optional[Mesh] = None,
+    axis: str = "model",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Q, D) queries × (G, D) gallery → (sims (Q, k), global idx (Q, k)).
+
+    Similarities on the (cos+1)/2 scale (reference compare semantics,
+    src/face_recognizer.cpp:333). Gallery rows are sharded across
+    `axis`; queries are replicated. Works on any mesh size including 1.
+    """
+    if mesh is None:
+        mesh = make_mesh((axis,))
+    n = mesh.shape[axis]
+    queries = jnp.asarray(np.asarray(queries, np.float32))
+    g_host = _pad_rows(np.asarray(gallery, np.float32), n)
+    n_real = np.asarray(gallery).shape[0]
+    top_k = min(top_k, n_real)
+    g_sharded = jax.device_put(
+        g_host, NamedSharding(mesh, P(axis, None))
+    )
+    rows_per_shard = g_host.shape[0] // n
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def search(q, g_local):
+        shard = lax.axis_index(axis)
+        sims = (
+            jnp.dot(q, g_local.T, preferred_element_type=jnp.float32) + 1.0
+        ) * 0.5
+        # mask padding rows (global row id >= n_real)
+        local_ids = jax.lax.broadcasted_iota(jnp.int32, (1, rows_per_shard), 1)
+        global_ids = local_ids + shard * rows_per_shard
+        sims = jnp.where(global_ids < n_real, sims, -jnp.inf)
+        # local candidate count: can't exceed this shard's rows; the
+        # all-gather then always carries ≥ top_k real candidates
+        local_k = min(top_k, rows_per_shard)
+        s, i = lax.top_k(sims, local_k)  # local candidates (Q, local_k)
+        gi = jnp.take_along_axis(
+            jnp.broadcast_to(global_ids, sims.shape), i, axis=1
+        )
+        # one small all-gather of candidates over ICI, then final top-k
+        s_all = lax.all_gather(s, axis, axis=1, tiled=True)  # (Q, n*k)
+        gi_all = lax.all_gather(gi, axis, axis=1, tiled=True)
+        s_fin, sel = lax.top_k(s_all, top_k)
+        gi_fin = jnp.take_along_axis(gi_all, sel, axis=1)
+        return s_fin, gi_fin
+
+    return search(queries, g_sharded)
+
+
+def sharded_batch_embed(
+    params,
+    crops_bgr,
+    cfg,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Data-parallel batched embedding over the mesh.
+
+    crops_bgr: (B, 112, 112, 3) aligned BGR crops; B padded to a multiple
+    of the data-axis size. One pjit program: params replicated, batch
+    sharded — XLA runs each shard's IResNet locally, no collectives on
+    the forward path (the enrollment config of BASELINE.json).
+    """
+    from facerecognizeonnx_tpu.embed.pipeline import embed_crops
+
+    if mesh is None:
+        mesh = make_mesh((axis,))
+    n = mesh.shape[axis]
+    crops_host = _pad_rows(np.asarray(crops_bgr), n)
+    b_real = np.asarray(crops_bgr).shape[0]
+    x = jax.device_put(crops_host, NamedSharding(mesh, P(axis)))
+
+    fn = jax.jit(
+        lambda p, v: embed_crops(p, v, cfg),
+        out_shardings=NamedSharding(mesh, P(axis)),
+    )
+    return fn(params, x)[:b_real]

@@ -1,0 +1,67 @@
+"""Fully-fused frame→features program (the flagship TPU path).
+
+One XLA program runs the entire reference `compare`/`webcam` inner loop
+(SURVEY.md §3.1/§3.3) for a BATCH of frames: normalize → SCRFD →
+decode → top-k → NMS → per-face umeyama align → warp → IResNet embed →
+L2 norm. No host round-trip between decode and embedding (BASELINE.json
+north star: "no pixel touches host between decode and embedding").
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from facerecognizeonnx_tpu.config import PipelineConfig
+from facerecognizeonnx_tpu.detect.decode import decode_outputs
+from facerecognizeonnx_tpu.detect.pipeline import postprocess
+from facerecognizeonnx_tpu.embed.pipeline import align_faces, embed_crops
+from facerecognizeonnx_tpu.models import scrfd
+from facerecognizeonnx_tpu.ops.image import normalize_to_rgb
+from facerecognizeonnx_tpu.types import Detections
+
+
+def frames_to_features(
+    det_params,
+    arc_params,
+    frames_u8: jnp.ndarray,
+    cfg: PipelineConfig,
+    max_faces_embed: int = 8,
+    compute_dtype=None,
+) -> Tuple[Detections, jnp.ndarray]:
+    """(B, S, S, 3) letterboxed BGR frames → (Detections, (B, K, 512)).
+
+    K = max_faces_embed top-scoring faces per frame are aligned and
+    embedded (invalid slots give zero features). Detections are in
+    letterboxed-frame pixels.
+    """
+    dtype = jnp.dtype(cfg.compute_dtype) if compute_dtype is None else compute_dtype
+    x = normalize_to_rgb(frames_u8, cfg.pixel_mean, cfg.pixel_scale, dtype=dtype)
+    outs = scrfd.apply(det_params, x, compute_dtype=dtype)
+    scores, boxes, kps = decode_outputs(outs, cfg.det_input_size, cfg.num_anchors)
+
+    dets = jax.vmap(lambda s, b, k: postprocess(s, b, k, 1.0, cfg))(
+        scores, boxes, kps
+    )
+
+    k = max_faces_embed
+    top = Detections(
+        boxes=dets.boxes[:, :k],
+        scores=dets.scores[:, :k],
+        kps=dets.kps[:, :k],
+        valid=dets.valid[:, :k],
+    )
+
+    def embed_one(frame, kps_k, boxes_k, valid_k):
+        crops = align_faces(frame, kps_k, boxes_k, cfg)
+        return crops, valid_k
+
+    crops, valids = jax.vmap(embed_one)(frames_u8, top.kps, top.boxes, top.valid)
+    b, kk = crops.shape[0], crops.shape[1]
+    feats = embed_crops(
+        arc_params, crops.reshape((b * kk,) + crops.shape[2:]), cfg, dtype
+    )
+    feats = feats.reshape(b, kk, -1) * valids[..., None].astype(jnp.float32)
+    return dets, feats

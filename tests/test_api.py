@@ -1,0 +1,111 @@
+"""Reference-compatible API surface tests (SURVEY.md §2 C2-C13 contracts)."""
+
+import numpy as np
+import pytest
+
+from facerecognizeonnx_tpu.config import PipelineConfig
+from facerecognizeonnx_tpu.pipeline.api import FaceDetector, FaceRecognizer
+from facerecognizeonnx_tpu.types import Detections, FaceBox, face_boxes_to_arrays
+
+CFG = PipelineConfig(compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def detector():
+    d = FaceDetector(CFG)
+    assert d.load_model()
+    return d
+
+
+@pytest.fixture(scope="module")
+def recognizer():
+    r = FaceRecognizer(CFG)
+    assert r.loadModel()  # camelCase alias (reference face_recognizer.h:14)
+    return r
+
+
+@pytest.fixture(scope="module")
+def image(request):
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+
+
+def _face():
+    return FaceBox(
+        box=(300, 200, 120, 140),
+        score=0.9,
+        landmarks=np.array(
+            [[330, 250], [390, 250], [360, 290], [335, 320], [385, 320]],
+            np.float32,
+        ),
+    )
+
+
+def test_detect_returns_face_boxes(detector, image):
+    faces = detector.detect(image)
+    assert isinstance(faces, list)
+    for f in faces[:3]:
+        assert isinstance(f, FaceBox)
+        assert all(isinstance(v, int) for v in f.box)  # reference int rects
+        assert f.landmarks.shape == (5, 2)
+
+
+def test_detect_empty_image_guard(detector):
+    assert detector.detect(np.zeros((0, 0, 3), np.uint8)) == []
+    assert detector.detect(None) == []
+
+
+def test_detect_unloaded_model_guard(image):
+    assert FaceDetector(CFG).detect(image) == []
+
+
+def test_extract_feature_is_normalized(recognizer, image):
+    feat = recognizer.extract_feature(image, _face())
+    assert feat.shape == (512,)
+    assert np.linalg.norm(feat) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_extract_feature_camelcase_alias(recognizer, image):
+    f1 = recognizer.extractFeature(image, _face())
+    f2 = recognizer.extract_feature(image, _face())
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_extract_features_batch_matches_single(recognizer, image):
+    faces = [_face(), _face()]
+    feats = recognizer.extract_features(image, faces)
+    single = recognizer.extract_feature(image, faces[0])
+    assert feats.shape == (2, 512)
+    np.testing.assert_allclose(feats[0], single, atol=1e-5)
+    np.testing.assert_allclose(feats[0], feats[1], atol=1e-5)
+
+
+def test_compare_faces_semantics(recognizer):
+    f = np.zeros(512, np.float32)
+    f[0] = 1.0
+    g = np.zeros(512, np.float32)
+    g[0] = -1.0
+    # (dot+1)/2 mapping (reference src/face_recognizer.cpp:333)
+    assert recognizer.compare_faces(f, f) == pytest.approx(1.0)
+    assert recognizer.compare_faces(f, g) == pytest.approx(0.0)
+    # guards (reference :321-323)
+    assert recognizer.compare_faces(f, np.zeros(3)) == 0.0
+    assert recognizer.compare_faces(np.zeros(0), np.zeros(0)) == 0.0
+
+
+def test_extract_feature_simple(recognizer, image):
+    feat = recognizer.extract_feature_simple(image)
+    assert feat.shape == (512,)
+    assert np.linalg.norm(feat) == pytest.approx(1.0, abs=1e-5)
+    # deterministic
+    np.testing.assert_array_equal(feat, recognizer.extractFeatureSimple(image))
+
+
+def test_face_box_roundtrip():
+    faces = [_face()]
+    dets = face_boxes_to_arrays(faces, 4)
+    assert isinstance(dets, Detections)
+    back = dets.to_face_boxes()
+    assert len(back) == 1
+    assert back[0].box == pytest.approx(faces[0].box)
+    np.testing.assert_allclose(back[0].landmarks, faces[0].landmarks)

@@ -1,0 +1,99 @@
+"""Checkpoint round-trip + gallery persistence (SURVEY.md §5 checkpoint/resume)."""
+
+import jax
+import numpy as np
+import pytest
+
+from facerecognizeonnx_tpu.match.gallery import GalleryBank
+from facerecognizeonnx_tpu.models import arcface
+from facerecognizeonnx_tpu.utils import checkpoint
+
+
+def test_params_roundtrip(tmp_path):
+    params = arcface.init_params(jax.random.PRNGKey(0), arch="iresnet18")
+    path = str(tmp_path / "arc.npz")
+    checkpoint.save_params(path, params)
+    loaded = checkpoint.load_params(path)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(loaded)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    # lists must come back as lists (block stages)
+    assert isinstance(loaded["layer1"], list)
+
+
+def test_loaded_params_run(tmp_path):
+    import jax.numpy as jnp
+
+    params = arcface.init_params(jax.random.PRNGKey(0), arch="iresnet18")
+    path = str(tmp_path / "arc.npz")
+    checkpoint.save_params(path, params)
+    loaded = checkpoint.load_params(path)
+    x = jnp.zeros((1, 112, 112, 3))
+    np.testing.assert_allclose(
+        np.asarray(arcface.apply(params, x)),
+        np.asarray(arcface.apply(loaded, x)),
+        atol=1e-6,
+    )
+
+
+def test_gallery_roundtrip(tmp_path, rng):
+    bank = GalleryBank()
+    feats = rng.normal(size=(5, 512)).astype(np.float32)
+    for i in range(5):
+        bank.add(f"person{i}", feats[i])
+    path = str(tmp_path / "gallery.npz")
+    bank.save(path)
+    loaded = GalleryBank.load(path)
+    assert loaded.names == bank.names
+    np.testing.assert_allclose(loaded.features, bank.features)
+    # features stored L2-normalized
+    np.testing.assert_allclose(
+        np.linalg.norm(loaded.features, axis=1), np.ones(5), atol=1e-5
+    )
+
+
+def test_gallery_search_identity(rng):
+    bank = GalleryBank()
+    feats = rng.normal(size=(20, 512)).astype(np.float32)
+    bank.add_batch([f"p{i}" for i in range(20)], feats)
+    names, sims = bank.search(feats[3] / np.linalg.norm(feats[3]), top_k=2)
+    assert names[0][0] == "p3"
+    assert sims[0][0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_gallery_dim_mismatch():
+    bank = GalleryBank()
+    with pytest.raises(ValueError):
+        bank.add("x", np.zeros(64, np.float32))
+
+
+def test_gallery_empty_search():
+    bank = GalleryBank()
+    names, sims = bank.search(np.ones((2, 512), np.float32), top_k=3)
+    assert names == [[], []]
+    assert sims.shape == (2, 0)
+
+
+def test_api_load_from_npz(tmp_path):
+    from facerecognizeonnx_tpu.config import PipelineConfig
+    from facerecognizeonnx_tpu.pipeline.api import FaceRecognizer
+
+    cfg = PipelineConfig(compute_dtype="float32")
+    params = arcface.init_params(jax.random.PRNGKey(5))
+    path = str(tmp_path / "rec.npz")
+    checkpoint.save_params(path, params)
+    rec = FaceRecognizer(cfg)
+    assert rec.load_model(path)
+    img = np.random.default_rng(0).integers(0, 256, (128, 128, 3), dtype=np.uint8)
+    assert rec.extract_feature_simple(img).shape == (512,)
+
+
+def test_api_load_missing_file():
+    from facerecognizeonnx_tpu.pipeline.api import FaceRecognizer
+
+    rec = FaceRecognizer()
+    assert rec.load_model("/nonexistent/model.npz") is False

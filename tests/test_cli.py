@@ -1,0 +1,64 @@
+"""CLI mode tests (headless, stdout contract per reference README.md:133-169)."""
+
+import numpy as np
+import pytest
+
+from facerecognizeonnx_tpu.cli.main import main
+
+
+@pytest.fixture(scope="module")
+def jpegs(tmp_path_factory):
+    import cv2
+
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(9)
+    paths = []
+    for name in ("one.jpg", "two.jpg"):
+        p = str(d / name)
+        cv2.imwrite(p, rng.integers(0, 256, (240, 320, 3), dtype=np.uint8))
+        paths.append(p)
+    return paths
+
+
+def test_usage_error_on_missing_args(capsys):
+    rc = main(["compare"])
+    assert rc == -1
+    assert "无效的命令或参数" in capsys.readouterr().out
+
+
+def test_simple_mode(jpegs, capsys):
+    rc = main(["simple", jpegs[0], jpegs[1]])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "特征维度: 512" in out
+    assert "相似度:" in out
+    assert ("同一人" in out) or ("不同人" in out)
+
+
+def test_detect_mode_writes_output(jpegs, capsys):
+    import os
+
+    rc = main(["detect", jpegs[0]])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "检测到" in out
+    assert os.path.exists(jpegs[0].replace(".jpg", "_out.jpg"))
+
+
+def test_webcam_synthetic_headless(capsys):
+    rc = main(["webcam", "synthetic:320x240x3", "--enroll-first"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "frames=3" in out
+
+
+def test_enroll_and_identify(jpegs, tmp_path, capsys):
+    gallery = str(tmp_path / "g.npz")
+    rc = main(["enroll", jpegs[0], jpegs[1], "--gallery", gallery])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "已注册" in out
+    rc = main(["identify", jpegs[0], "--gallery", gallery])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "人脸 1:" in out

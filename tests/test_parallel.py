@@ -1,0 +1,96 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh
+(SURVEY.md §4.4: pjit/shard_map exercised without a TPU pod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facerecognizeonnx_tpu.config import PipelineConfig
+from facerecognizeonnx_tpu.parallel.mesh import make_mesh
+from facerecognizeonnx_tpu.parallel.sharded_ops import (
+    sharded_batch_embed,
+    sharded_topk_search,
+)
+
+
+def _normed(rng, n, d=512):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(("data", "model"), (4, 2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh1 = make_mesh(("model",))
+    assert mesh1.shape == {"model": 8}
+    with pytest.raises(ValueError):
+        make_mesh(("data",), (3,))
+
+
+def test_sharded_topk_matches_dense(rng):
+    gallery = _normed(rng, 1000)
+    queries = _normed(rng, 4)
+    sims, idx = sharded_topk_search(queries, gallery, top_k=5)
+    sims, idx = np.asarray(sims), np.asarray(idx)
+
+    dense = (queries @ gallery.T + 1.0) / 2.0
+    ref_idx = np.argsort(-dense, axis=1)[:, :5]
+    ref_sims = np.take_along_axis(dense, ref_idx, axis=1)
+    np.testing.assert_allclose(sims, ref_sims, atol=1e-5)
+    np.testing.assert_array_equal(idx, ref_idx)
+
+
+def test_sharded_topk_gallery_not_divisible(rng):
+    # 1003 rows over 8 shards → padding rows must never appear in results
+    gallery = _normed(rng, 1003)
+    queries = _normed(rng, 3)
+    sims, idx = sharded_topk_search(queries, gallery, top_k=7)
+    assert np.asarray(idx).max() < 1003
+    dense = (queries @ gallery.T + 1.0) / 2.0
+    ref_idx = np.argsort(-dense, axis=1)[:, :7]
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_sharded_topk_k_larger_than_gallery(rng):
+    gallery = _normed(rng, 3)
+    queries = _normed(rng, 2)
+    sims, idx = sharded_topk_search(queries, gallery, top_k=10)
+    assert np.asarray(sims).shape == (2, 3)
+
+
+def test_gallery_bank_sharded_search(rng):
+    from facerecognizeonnx_tpu.match.gallery import GalleryBank
+
+    bank = GalleryBank()
+    feats = _normed(rng, 50)
+    bank.add_batch([f"id{i}" for i in range(50)], feats)
+    q = feats[7:9]
+    names_s, sims_s = bank.search(q, top_k=3, sharded=True)
+    names_d, sims_d = bank.search(q, top_k=3, sharded=False)
+    assert names_s == names_d
+    np.testing.assert_allclose(sims_s, sims_d, atol=1e-5)
+    assert names_s[0][0] == "id7" and names_s[1][0] == "id8"
+    assert sims_s[0][0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_sharded_batch_embed_matches_local(rng):
+    from facerecognizeonnx_tpu.embed.pipeline import embed_crops
+    from facerecognizeonnx_tpu.models import arcface
+    from facerecognizeonnx_tpu.utils.hostinit import init_on_host
+
+    cfg = PipelineConfig(compute_dtype="float32")
+    params = init_on_host(
+        lambda: arcface.init_params(jax.random.PRNGKey(0), arch="iresnet18")
+    )
+    crops = rng.integers(0, 256, (10, 112, 112, 3)).astype(np.uint8)
+    sharded = np.asarray(sharded_batch_embed(params, crops, cfg))
+    local = np.asarray(embed_crops(params, jnp.asarray(crops), cfg))
+    assert sharded.shape == (10, 512)
+    np.testing.assert_allclose(sharded, local, atol=2e-2)
+    cos = (sharded * local).sum(-1)
+    assert cos.min() > 1 - 1e-4
