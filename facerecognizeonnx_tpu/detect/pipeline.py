@@ -28,6 +28,14 @@ from facerecognizeonnx_tpu.ops.nms import nms_fixed
 from facerecognizeonnx_tpu.types import Detections
 
 
+def _forward(params, x, dtype):
+    """Dispatch: native SCRFD params pytree, or an OnnxRunner loaded from
+    a real det_500m.onnx (onnx_import/importer.py) — same output contract."""
+    if hasattr(params, "apply"):
+        return params.apply(x, dtype)
+    return scrfd.apply(params, x, compute_dtype=dtype)
+
+
 def postprocess(
     scores: jnp.ndarray,
     boxes: jnp.ndarray,
@@ -80,7 +88,7 @@ def detect_program(
     dtype = jnp.dtype(cfg.compute_dtype) if compute_dtype is None else compute_dtype
     padded, scale = letterbox(image_u8, cfg.det_input_size)
     x = normalize_to_rgb(padded, cfg.pixel_mean, cfg.pixel_scale, dtype=dtype)[None]
-    outs = scrfd.apply(params, x, compute_dtype=dtype)
+    outs = _forward(params, x, dtype)
     scores, boxes, kps = decode_outputs(outs, cfg.det_input_size, cfg.num_anchors)
     return postprocess(
         scores[0], boxes[0], kps[0], scale, cfg, score_threshold, nms_threshold
@@ -103,7 +111,7 @@ def detect_batch_program(
     """
     dtype = jnp.dtype(cfg.compute_dtype) if compute_dtype is None else compute_dtype
     x = normalize_to_rgb(images_u8, cfg.pixel_mean, cfg.pixel_scale, dtype=dtype)
-    outs = scrfd.apply(params, x, compute_dtype=dtype)
+    outs = _forward(params, x, dtype)
     scores, boxes, kps = decode_outputs(outs, cfg.det_input_size, cfg.num_anchors)
     post = jax.vmap(
         lambda s, b, k: postprocess(

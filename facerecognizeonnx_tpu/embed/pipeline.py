@@ -63,7 +63,10 @@ def embed_crops(
     """(K, 112, 112, 3) BGR crops → (K, 512) L2-normalized features."""
     dtype = jnp.dtype(cfg.compute_dtype) if compute_dtype is None else compute_dtype
     x = normalize_to_rgb(crops_bgr, cfg.pixel_mean, cfg.pixel_scale, dtype=dtype)
-    feats = arcface.apply(params, x, compute_dtype=dtype)
+    if hasattr(params, "apply"):  # OnnxRunner from a real w600k_r50.onnx
+        feats = params.apply(x, dtype)
+    else:
+        feats = arcface.apply(params, x, compute_dtype=dtype)
     return l2_normalize(feats)
 
 

@@ -1,0 +1,411 @@
+"""ONNX graph → JAX executor (jit-compatible).
+
+Compiles the reference's model format to XLA: each graph run is a pure
+function of its inputs, so wrapping `run` in jax.jit produces ONE fused
+TPU program for the whole network — the role ONNX Runtime's CPU EP plays
+in the reference (src/face_detector.cpp:179-183), minus the per-node
+interpreter overhead.
+
+Conventions: ONNX activations are NCHW / weights OIHW; the executor
+keeps that layout (XLA re-layouts for TPU under jit). Shape-math
+subgraphs (Shape→Gather→Unsqueeze→Concat→Reshape chains from torch
+exports) are constant-folded in numpy so they never become traced ops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facerecognizeonnx_tpu.onnx_import import proto
+
+
+def _is_static(*vals) -> bool:
+    return all(isinstance(v, (np.ndarray, np.generic, int, float)) for v in vals)
+
+
+def _np(v):
+    return np.asarray(v)
+
+
+def _attr(node, name, default=None):
+    return node.attrs.get(name, default)
+
+
+def _pads4(node):
+    pads = _attr(node, "pads", [0, 0, 0, 0])
+    # ONNX 2D pads: [top, left, bottom, right]
+    t, l, b, r = (int(p) for p in pads)
+    return (t, b), (l, r)
+
+
+class Executor:
+    """Evaluates a parsed Graph. Op registry covers the convnet subset
+    used by SCRFD/ArcFace exports plus common glue ops."""
+
+    def __init__(self, graph: proto.Graph):
+        self.graph = graph
+        self.init = {k: v for k, v in graph.initializers.items()}
+        init_names = set(self.init)
+        self.input_names = [
+            name for name, _ in graph.inputs if name not in init_names
+        ]
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, inputs: Dict[str, Any]) -> List[Any]:
+        values: Dict[str, Any] = dict(self.init)
+        values.update(inputs)
+        for node in self.graph.nodes:
+            fn = getattr(self, f"op_{node.op_type.lower()}", None)
+            if fn is None:
+                raise NotImplementedError(
+                    f"ONNX op {node.op_type!r} (node {node.name!r}) not supported"
+                )
+            args = [values[i] if i else None for i in node.inputs]
+            out = fn(node, args)
+            if not isinstance(out, (tuple, list)):
+                out = (out,)
+            for name, val in zip(node.outputs, out):
+                if name:
+                    values[name] = val
+        return [values[o] for o in self.graph.outputs]
+
+    # ------------------------------------------------------------- conv etc
+
+    def op_conv(self, node, args):
+        x, w = args[0], args[1]
+        b = args[2] if len(args) > 2 else None
+        strides = [int(s) for s in _attr(node, "strides", [1, 1])]
+        dilations = [int(d) for d in _attr(node, "dilations", [1, 1])]
+        group = int(_attr(node, "group", 1))
+        (pt, pb), (pl, pr) = _pads4(node)
+        auto_pad = _attr(node, "auto_pad")
+        if auto_pad and auto_pad not in (b"NOTSET", "NOTSET"):
+            kh, kw = w.shape[2], w.shape[3]
+            if auto_pad in (b"SAME_UPPER", b"SAME_LOWER"):
+                ph, pw_ = (kh - 1) * dilations[0], (kw - 1) * dilations[1]
+                if auto_pad == b"SAME_UPPER":
+                    pt, pb = ph // 2, ph - ph // 2
+                    pl, pr = pw_ // 2, pw_ - pw_ // 2
+                else:
+                    pb, pt = ph // 2, ph - ph // 2
+                    pr, pl = pw_ // 2, pw_ - pw_ // 2
+        y = jax.lax.conv_general_dilated(
+            jnp.asarray(x),
+            jnp.asarray(w),
+            window_strides=strides,
+            padding=[(pt, pb), (pl, pr)],
+            rhs_dilation=dilations,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=group,
+            preferred_element_type=jnp.float32,
+        )
+        if b is not None:
+            y = y + jnp.asarray(b).reshape(1, -1, 1, 1)
+        return y
+
+    def op_batchnormalization(self, node, args):
+        x, scale, bias, mean, var = (jnp.asarray(a) for a in args[:5])
+        eps = float(_attr(node, "epsilon", 1e-5))
+        shape = (1, -1) + (1,) * (jnp.ndim(x) - 2)
+        inv = jax.lax.rsqrt(var + eps) * scale
+        return x * inv.reshape(shape) + (bias - mean * inv).reshape(shape)
+
+    def op_prelu(self, node, args):
+        x, slope = jnp.asarray(args[0]), jnp.asarray(args[1])
+        if slope.ndim == 1 and x.ndim == 4:
+            slope = slope.reshape(1, -1, 1, 1)
+        elif slope.ndim == 3 and x.ndim == 4:
+            slope = slope[None]
+        return jnp.where(x >= 0, x, x * slope)
+
+    def op_relu(self, node, args):
+        return jnp.maximum(jnp.asarray(args[0]), 0)
+
+    def op_leakyrelu(self, node, args):
+        alpha = float(_attr(node, "alpha", 0.01))
+        x = jnp.asarray(args[0])
+        return jnp.where(x >= 0, x, x * alpha)
+
+    def op_sigmoid(self, node, args):
+        return jax.nn.sigmoid(jnp.asarray(args[0]))
+
+    def op_softmax(self, node, args):
+        axis = int(_attr(node, "axis", -1))
+        return jax.nn.softmax(jnp.asarray(args[0]), axis=axis)
+
+    def op_clip(self, node, args):
+        x = jnp.asarray(args[0])
+        lo = args[1] if len(args) > 1 and args[1] is not None else _attr(node, "min")
+        hi = args[2] if len(args) > 2 and args[2] is not None else _attr(node, "max")
+        if lo is not None:
+            x = jnp.maximum(x, jnp.asarray(lo))
+        if hi is not None:
+            x = jnp.minimum(x, jnp.asarray(hi))
+        return x
+
+    # --------------------------------------------------------------- pooling
+
+    def op_maxpool(self, node, args):
+        x = jnp.asarray(args[0])
+        kh, kw = (int(k) for k in _attr(node, "kernel_shape"))
+        sh, sw = (int(s) for s in _attr(node, "strides", [1, 1]))
+        (pt, pb), (pl, pr) = _pads4(node)
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 1, kh, kw),
+            window_strides=(1, 1, sh, sw),
+            padding=((0, 0), (0, 0), (pt, pb), (pl, pr)),
+        )
+
+    def op_averagepool(self, node, args):
+        x = jnp.asarray(args[0])
+        kh, kw = (int(k) for k in _attr(node, "kernel_shape"))
+        sh, sw = (int(s) for s in _attr(node, "strides", [1, 1]))
+        (pt, pb), (pl, pr) = _pads4(node)
+        summed = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add,
+            window_dimensions=(1, 1, kh, kw),
+            window_strides=(1, 1, sh, sw),
+            padding=((0, 0), (0, 0), (pt, pb), (pl, pr)),
+        )
+        return summed / (kh * kw)
+
+    def op_globalaveragepool(self, node, args):
+        return jnp.mean(jnp.asarray(args[0]), axis=(2, 3), keepdims=True)
+
+    # ---------------------------------------------------------------- linear
+
+    def op_gemm(self, node, args):
+        a, b = jnp.asarray(args[0]), jnp.asarray(args[1])
+        c = args[2] if len(args) > 2 else None
+        alpha = float(_attr(node, "alpha", 1.0))
+        beta = float(_attr(node, "beta", 1.0))
+        if int(_attr(node, "transA", 0)):
+            a = a.T
+        if int(_attr(node, "transB", 0)):
+            b = b.T
+        y = alpha * jnp.dot(a, b, preferred_element_type=jnp.float32)
+        if c is not None:
+            y = y + beta * jnp.asarray(c)
+        return y
+
+    def op_matmul(self, node, args):
+        return jnp.matmul(
+            jnp.asarray(args[0]), jnp.asarray(args[1]),
+            preferred_element_type=jnp.float32,
+        )
+
+    # ------------------------------------------------------------ elementwise
+
+    def _binop(self, args, np_fn, jnp_fn):
+        a, b = args
+        if _is_static(a, b):
+            return np_fn(_np(a), _np(b))
+        return jnp_fn(jnp.asarray(a), jnp.asarray(b))
+
+    def op_add(self, node, args):
+        return self._binop(args, np.add, jnp.add)
+
+    def op_sub(self, node, args):
+        return self._binop(args, np.subtract, jnp.subtract)
+
+    def op_mul(self, node, args):
+        return self._binop(args, np.multiply, jnp.multiply)
+
+    def op_div(self, node, args):
+        return self._binop(args, np.divide, jnp.divide)
+
+    def op_pow(self, node, args):
+        return self._binop(args, np.power, jnp.power)
+
+    def op_sqrt(self, node, args):
+        return jnp.sqrt(jnp.asarray(args[0]))
+
+    def op_exp(self, node, args):
+        return jnp.exp(jnp.asarray(args[0]))
+
+    def op_neg(self, node, args):
+        return -jnp.asarray(args[0])
+
+    def op_reducemean(self, node, args):
+        axes = _attr(node, "axes")
+        keep = bool(int(_attr(node, "keepdims", 1)))
+        axes = tuple(int(a) for a in axes) if axes else None
+        return jnp.mean(jnp.asarray(args[0]), axis=axes, keepdims=keep)
+
+    def op_reducesum(self, node, args):
+        axes = _attr(node, "axes")
+        keep = bool(int(_attr(node, "keepdims", 1)))
+        axes = tuple(int(a) for a in axes) if axes else None
+        return jnp.sum(jnp.asarray(args[0]), axis=axes, keepdims=keep)
+
+    # ------------------------------------------------------- shape plumbing
+
+    def op_shape(self, node, args):
+        return np.asarray(jnp.shape(args[0]), np.int64)
+
+    def op_gather(self, node, args):
+        data, idx = args
+        axis = int(_attr(node, "axis", 0))
+        if _is_static(data, idx):
+            return np.take(_np(data), _np(idx).astype(np.int64), axis=axis)
+        return jnp.take(jnp.asarray(data), jnp.asarray(idx), axis=axis)
+
+    def op_unsqueeze(self, node, args):
+        axes = _attr(node, "axes")
+        if axes is None:  # opset 13: axes is input[1]
+            axes = _np(args[1]).tolist()
+        x = args[0]
+        if _is_static(x):
+            x = _np(x)
+            for a in sorted(int(v) for v in axes):
+                x = np.expand_dims(x, a)
+            return x
+        x = jnp.asarray(x)
+        for a in sorted(int(v) for v in axes):
+            x = jnp.expand_dims(x, a)
+        return x
+
+    def op_squeeze(self, node, args):
+        axes = _attr(node, "axes")
+        if axes is None and len(args) > 1 and args[1] is not None:
+            axes = _np(args[1]).tolist()
+        x = jnp.asarray(args[0])
+        return jnp.squeeze(x, axis=tuple(int(a) for a in axes) if axes else None)
+
+    def op_concat(self, node, args):
+        axis = int(_attr(node, "axis", 0))
+        if _is_static(*args):
+            return np.concatenate([_np(a) for a in args], axis=axis)
+        return jnp.concatenate([jnp.asarray(a) for a in args], axis=axis)
+
+    def op_reshape(self, node, args):
+        x = jnp.asarray(args[0])
+        shape = [int(s) for s in _np(args[1]).tolist()]
+        # ONNX: 0 copies the input dim, -1 infers
+        shape = [
+            x.shape[i] if s == 0 else s for i, s in enumerate(shape)
+        ]
+        return x.reshape(shape)
+
+    def op_flatten(self, node, args):
+        axis = int(_attr(node, "axis", 1))
+        x = jnp.asarray(args[0])
+        lead = int(np.prod(x.shape[:axis])) if axis else 1
+        return x.reshape(lead, -1)
+
+    def op_transpose(self, node, args):
+        perm = _attr(node, "perm")
+        return jnp.transpose(jnp.asarray(args[0]), perm)
+
+    def op_slice(self, node, args):
+        x = args[0]
+        if len(args) > 1 and args[1] is not None:  # opset ≥10: inputs
+            starts = _np(args[1]).tolist()
+            ends = _np(args[2]).tolist()
+            axes = (
+                _np(args[3]).tolist()
+                if len(args) > 3 and args[3] is not None
+                else list(range(len(starts)))
+            )
+            steps = (
+                _np(args[4]).tolist()
+                if len(args) > 4 and args[4] is not None
+                else [1] * len(starts)
+            )
+        else:  # opset 1: attributes
+            starts = _attr(node, "starts")
+            ends = _attr(node, "ends")
+            axes = _attr(node, "axes", list(range(len(starts))))
+            steps = [1] * len(starts)
+        xa = jnp.asarray(x) if not _is_static(x) else _np(x)
+        slicer = [slice(None)] * xa.ndim
+        for s, e, a, st in zip(starts, ends, axes, steps):
+            slicer[int(a)] = slice(int(s), int(e), int(st))
+        return xa[tuple(slicer)]
+
+    def op_split(self, node, args):
+        axis = int(_attr(node, "axis", 0))
+        splits = _attr(node, "split")
+        if splits is None and len(args) > 1 and args[1] is not None:
+            splits = _np(args[1]).tolist()
+        x = jnp.asarray(args[0])
+        if splits is None:
+            n = len(node.outputs)
+            return tuple(jnp.split(x, n, axis=axis))
+        idx = np.cumsum([int(s) for s in splits])[:-1]
+        return tuple(jnp.split(x, idx.tolist(), axis=axis))
+
+    def op_cast(self, node, args):
+        to = int(_attr(node, "to"))
+        np_dtype = proto.DTYPE_MAP[to]
+        x = args[0]
+        if _is_static(x):
+            return _np(x).astype(np_dtype)
+        return jnp.asarray(x).astype(np_dtype)
+
+    def op_constant(self, node, args):
+        val = _attr(node, "value")
+        if val is None:
+            for k in ("value_float", "value_int"):
+                if k in node.attrs:
+                    return np.asarray(node.attrs[k])
+            raise NotImplementedError("Constant without value attr")
+        return val
+
+    def op_constantofshape(self, node, args):
+        shape = [int(s) for s in _np(args[0]).tolist()]
+        val = _attr(node, "value")
+        fill = val.ravel()[0] if val is not None else np.float32(0)
+        return np.full(shape, fill)
+
+    def op_identity(self, node, args):
+        return args[0]
+
+    def op_dropout(self, node, args):
+        return args[0]  # inference mode
+
+    def op_pad(self, node, args):
+        mode = _attr(node, "mode", b"constant")
+        pads = _attr(node, "pads")
+        if pads is None:
+            pads = _np(args[1]).tolist()
+        x = jnp.asarray(args[0])
+        nd = x.ndim
+        pairs = [(int(pads[i]), int(pads[i + nd])) for i in range(nd)]
+        if mode in (b"constant", "constant"):
+            const = 0.0
+            if len(args) > 2 and args[2] is not None:
+                const = float(_np(args[2]))
+            return jnp.pad(x, pairs, constant_values=const)
+        return jnp.pad(x, pairs, mode="edge")
+
+    def op_resize(self, node, args):
+        x = jnp.asarray(args[0])
+        sizes = None
+        if len(args) > 3 and args[3] is not None:
+            sizes = [int(s) for s in _np(args[3]).tolist()]
+        elif len(args) > 2 and args[2] is not None:
+            scales = _np(args[2]).astype(np.float64)
+            if scales.size:
+                sizes = [int(round(d * s)) for d, s in zip(x.shape, scales)]
+        if sizes is None:
+            raise NotImplementedError("Resize without scales/sizes")
+        mode = _attr(node, "mode", b"nearest")
+        method = "nearest" if mode in (b"nearest", "nearest") else "linear"
+        return jax.image.resize(x, tuple(sizes), method=method)
+
+    def op_upsample(self, node, args):
+        scales = _attr(node, "scales")
+        if scales is None:
+            scales = _np(args[1]).tolist()
+        x = jnp.asarray(args[0])
+        sizes = [int(round(d * s)) for d, s in zip(x.shape, scales)]
+        mode = _attr(node, "mode", b"nearest")
+        method = "nearest" if mode in (b"nearest", "nearest") else "linear"
+        return jax.image.resize(x, tuple(sizes), method=method)
