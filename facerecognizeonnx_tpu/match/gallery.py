@@ -17,6 +17,15 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except RuntimeError:
+        return False
+
+
 class GalleryBank:
     def __init__(self, feature_dim: int = 512):
         self.feature_dim = feature_dim
@@ -56,11 +65,19 @@ class GalleryBank:
     # ------------------------------------------------------------ search
 
     def search(
-        self, queries: np.ndarray, top_k: int = 1, sharded: bool = False
+        self,
+        queries: np.ndarray,
+        top_k: int = 1,
+        sharded: bool = False,
+        method: str = "auto",
     ) -> Tuple[List[List[str]], np.ndarray]:
         """(Q, D) L2-normalized queries → (names [Q][top_k], sims (Q, top_k))
-        on the (cos+1)/2 scale. sharded=True distributes gallery rows over
-        the device mesh (parallel/sharded_ops.sharded_topk_search)."""
+        on the (cos+1)/2 scale.
+
+        sharded=True distributes gallery rows over the device mesh
+        (parallel/sharded_ops.sharded_topk_search). method: "auto" uses
+        the streaming Pallas kernel on TPU for galleries too big to
+        materialize (ops/pallas_gallery.py), "pallas"/"xla" force."""
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
@@ -73,6 +90,19 @@ class GalleryBank:
             )
 
             sims, idx = sharded_topk_search(queries, self._feats, top_k)
+            sims, idx = np.asarray(sims), np.asarray(idx)
+        elif method == "pallas" or (
+            method == "auto" and len(self) >= 16384 and _on_tpu()
+        ):
+            import jax.numpy as jnp
+
+            from facerecognizeonnx_tpu.ops.pallas_gallery import (
+                gallery_topk_pallas,
+            )
+
+            sims, idx = gallery_topk_pallas(
+                jnp.asarray(queries), jnp.asarray(self._feats), top_k
+            )
             sims, idx = np.asarray(sims), np.asarray(idx)
         else:
             import jax.numpy as jnp

@@ -1,0 +1,128 @@
+"""Streaming video pipeline: prefetch → micro-batch → fused TPU program.
+
+The reference's webcam loop is fully serial — capture, detect, embed,
+draw, one frame at a time (src/main.cpp:214-257). The TPU-native version
+pipelines three stages:
+
+  host:   PrefetchLoader thread (native C++ letterbox) fills a frame ring
+  device: detect+align+embed for a MICRO-BATCH of frames in one program
+          (pipeline/fused.frames_to_features)
+  host:   match each face against the enrolled reference feature
+
+Matching semantics preserved: (cos+1)/2 vs 0.6 → "Match"/"Unknown"
+(src/main.cpp:228-234).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facerecognizeonnx_tpu.config import PipelineConfig
+from facerecognizeonnx_tpu.pipeline.fused import frames_to_features
+from facerecognizeonnx_tpu.types import Detections
+from facerecognizeonnx_tpu.utils.observability import Counter
+
+
+class VideoPipeline:
+    def __init__(
+        self,
+        det_params,
+        arc_params,
+        cfg: PipelineConfig = PipelineConfig(),
+        batch: int = 4,
+        max_faces_embed: int = 8,
+    ):
+        self.cfg = cfg
+        self.batch = batch
+        self.max_faces_embed = max_faces_embed
+        self._program = jax.jit(
+            lambda frames: frames_to_features(
+                det_params, arc_params, frames, cfg, max_faces_embed
+            )
+        )
+        self.counter = Counter("frames")
+
+    def _letterboxed_frames(self, frame_iter) -> Iterator:
+        size = self.cfg.det_input_size
+        try:
+            from facerecognizeonnx_tpu.runtime.native import (
+                PrefetchLoader,
+                native_available,
+            )
+
+            if native_available():
+                yield from PrefetchLoader(frame_iter, size, 2 * self.batch).frames()
+                return
+        except Exception:
+            pass
+        from facerecognizeonnx_tpu.ops.image import letterbox
+
+        for frame in frame_iter:  # python fallback
+            padded, scale = letterbox(jnp.asarray(frame), size)
+            yield np.asarray(padded, np.uint8), scale
+
+    def run(
+        self,
+        frame_iter,
+        ref_feature: Optional[np.ndarray] = None,
+        max_frames: Optional[int] = None,
+        match_threshold: Optional[float] = None,
+    ):
+        """Yields (frame_idx, Detections, features (K,512), labels) per frame."""
+        thr = (
+            self.cfg.match_threshold if match_threshold is None else match_threshold
+        )
+        buf: List[np.ndarray] = []
+        scales: List[float] = []
+        n_out = 0
+
+        def flush():
+            nonlocal n_out
+            if not buf:
+                return
+            pad_to = self.batch
+            frames = np.stack(buf + [buf[-1]] * (pad_to - len(buf)))
+            with self.counter.event(items=len(buf)):
+                dets, feats = self._program(jnp.asarray(frames))
+                feats = np.asarray(feats)
+            dets = jax.tree_util.tree_map(np.asarray, dets)
+            for i in range(len(buf)):
+                det_i = Detections(
+                    boxes=dets.boxes[i] / scales[i],
+                    scores=dets.scores[i],
+                    kps=dets.kps[i] / scales[i],
+                    valid=dets.valid[i],
+                )
+                labels = []
+                if ref_feature is not None:
+                    for k in range(self.max_faces_embed):
+                        if not det_i.valid[k]:
+                            labels.append("")
+                            continue
+                        sim = float((feats[i, k] @ ref_feature + 1.0) / 2.0)
+                        labels.append("Match" if sim > thr else "Unknown")
+                yield_items.append((n_out, det_i, feats[i], labels))
+                n_out += 1
+            buf.clear()
+            scales.clear()
+
+        yield_items: List = []
+        for frame, scale in self._letterboxed_frames(frame_iter):
+            buf.append(frame)
+            scales.append(scale)
+            if len(buf) == self.batch:
+                flush()
+                yield from yield_items
+                yield_items.clear()
+            if max_frames is not None and n_out + len(buf) >= max_frames:
+                break
+        flush()
+        yield from yield_items
+
+    def stats(self):
+        return self.counter.summary()
