@@ -41,6 +41,12 @@ class PipelineConfig:
 
     # --- TPU execution
     compute_dtype: str = "bfloat16"  # matmul/conv compute dtype on TPU
+    # Letterbox on host (native C++) instead of on device: every input
+    # resolution then hits ONE compiled 640x640 program instead of one
+    # program per resolution (recompile-storm mitigation for
+    # heterogeneous photo sets; SURVEY.md §7 hard parts).
+    host_letterbox: bool = False
+    scrfd_variant: str = "500m"  # 500m | 2.5g | 10g (det_* model family)
     param_dtype: str = "float32"
     # Mesh axis names used by parallel/ and train/.
     data_axis: str = "data"

@@ -32,23 +32,57 @@ from facerecognizeonnx_tpu.models import layers as L
 STRIDES = (8, 16, 32)
 NUM_ANCHORS = 2  # anchors per location (scale 1x and 2x), SCRFD convention
 
-# backbone plan: (out_ch, stride) per depthwise-separable block group
-_BACKBONE_PLAN = (
-    (16, 2),   # stem conv: stride 2
-    (16, 1),
-    (40, 2),   # → stride 4
-    (40, 1),
-    (72, 2),   # → stride 8   (C3 tap)
-    (72, 1),
-    (152, 2),  # → stride 16  (C4 tap)
-    (152, 1),
-    (288, 2),  # → stride 32  (C5 tap)
-    (288, 1),
-)
-_TAPS = {72: "c3", 152: "c4", 288: "c5"}
+# Model family: FLOP-class variants mirroring the SCRFD family the
+# buffalo model zoo ships (det_500m / det_2.5g / det_10g). Each entry:
+# backbone plan of (out_ch, stride) depthwise-separable blocks, neck and
+# head widths, stacked head convs. Taps are the last stride-1 block at
+# strides 8/16/32.
+SCRFD_VARIANTS = {
+    "500m": {
+        "plan": (
+            (16, 2), (16, 1), (40, 2), (40, 1), (72, 2), (72, 1),
+            (152, 2), (152, 1), (288, 2), (288, 1),
+        ),
+        "neck": 64,
+        "head": 64,
+        "stacked": 2,
+    },
+    "2.5g": {
+        "plan": (
+            (28, 2), (28, 1), (56, 2), (56, 1), (112, 2), (112, 1), (112, 1),
+            (224, 2), (224, 1), (224, 1), (448, 2), (448, 1),
+        ),
+        "neck": 96,
+        "head": 96,
+        "stacked": 3,
+    },
+    "10g": {
+        "plan": (
+            (56, 2), (56, 1), (88, 2), (88, 1), (176, 2), (176, 1), (176, 1),
+            (352, 2), (352, 1), (352, 1), (704, 2), (704, 1),
+        ),
+        "neck": 128,
+        "head": 128,
+        "stacked": 4,
+    },
+}
+
+# module-level defaults (500m — the reference's det_500m class)
+_BACKBONE_PLAN = SCRFD_VARIANTS["500m"]["plan"]
 NECK_CH = 64
 HEAD_CH = 64
 STACKED_CONVS = 2
+
+
+def _variant_taps(plan):
+    """{channel: tap_name} for the last stride-1 block at each level ≥ 8.
+
+    The three largest channel counts correspond to strides 8/16/32."""
+    chans = sorted({c for c, _ in plan})[-3:]
+    return dict(zip(chans, ("c3", "c4", "c5")))
+
+
+_TAPS = _variant_taps(_BACKBONE_PLAN)
 
 
 def _dw_sep_init(key, cin, cout):
@@ -63,51 +97,57 @@ def _dw_sep_init(key, cin, cout):
     }
 
 
-def init_params(key, input_size: int = 640) -> Dict:
+def init_params(key, input_size: int = 640, variant: str = "500m") -> Dict:
     del input_size  # fully convolutional; size only matters at decode
-    n_keys = 1 + len(_BACKBONE_PLAN) + 6 + 2 * STACKED_CONVS + 3
+    spec = SCRFD_VARIANTS[variant]
+    plan = spec["plan"]
+    neck_ch, head_ch, stacked = spec["neck"], spec["head"], spec["stacked"]
+    taps = _variant_taps(plan)
+    stem_ch = plan[0][0]
+    n_keys = 1 + len(plan) + 6 + 2 * stacked + 3
     keys = iter(jax.random.split(key, n_keys))
 
     params: Dict = {
         "stem": {
-            "conv": L.conv_init(next(keys), 3, 3, 3, 16),
-            "bn": L.bn_init(16),
-            "prelu": L.prelu_init(16),
+            "conv": L.conv_init(next(keys), 3, 3, 3, stem_ch),
+            "bn": L.bn_init(stem_ch),
+            "prelu": L.prelu_init(stem_ch),
         }
     }
 
     blocks = []
-    cin = 16
-    for cout, _stride in _BACKBONE_PLAN[1:]:
+    cin = stem_ch
+    for cout, _stride in plan[1:]:
         blocks.append(_dw_sep_init(next(keys), cin, cout))
         cin = cout
     params["backbone"] = blocks
 
+    tap_chans = {v: k for k, v in taps.items()}
     # FPN neck: lateral 1x1 per tap + 3x3 smoothing after top-down add
     params["neck"] = {
-        "lat_c3": L.conv_init(next(keys), 1, 1, 72, NECK_CH),
-        "lat_c4": L.conv_init(next(keys), 1, 1, 152, NECK_CH),
-        "lat_c5": L.conv_init(next(keys), 1, 1, 288, NECK_CH),
-        "smooth_p3": L.conv_init(next(keys), 3, 3, NECK_CH, NECK_CH),
-        "smooth_p4": L.conv_init(next(keys), 3, 3, NECK_CH, NECK_CH),
-        "smooth_p5": L.conv_init(next(keys), 3, 3, NECK_CH, NECK_CH),
+        "lat_c3": L.conv_init(next(keys), 1, 1, tap_chans["c3"], neck_ch),
+        "lat_c4": L.conv_init(next(keys), 1, 1, tap_chans["c4"], neck_ch),
+        "lat_c5": L.conv_init(next(keys), 1, 1, tap_chans["c5"], neck_ch),
+        "smooth_p3": L.conv_init(next(keys), 3, 3, neck_ch, neck_ch),
+        "smooth_p4": L.conv_init(next(keys), 3, 3, neck_ch, neck_ch),
+        "smooth_p5": L.conv_init(next(keys), 3, 3, neck_ch, neck_ch),
     }
 
     # Shared head: stacked 3x3 convs then 3 prediction convs
     head: Dict = {"convs": []}
-    cin = NECK_CH
-    for _ in range(STACKED_CONVS):
+    cin = neck_ch
+    for _ in range(stacked):
         head["convs"].append(
             {
-                "conv": L.conv_init(next(keys), 3, 3, cin, HEAD_CH),
-                "bn": L.bn_init(HEAD_CH),
-                "prelu": L.prelu_init(HEAD_CH),
+                "conv": L.conv_init(next(keys), 3, 3, cin, head_ch),
+                "bn": L.bn_init(head_ch),
+                "prelu": L.prelu_init(head_ch),
             }
         )
-        cin = HEAD_CH
-    head["cls"] = L.conv_init(next(keys), 3, 3, HEAD_CH, NUM_ANCHORS * 1)
-    head["bbox"] = L.conv_init(next(keys), 3, 3, HEAD_CH, NUM_ANCHORS * 4)
-    head["kps"] = L.conv_init(next(keys), 3, 3, HEAD_CH, NUM_ANCHORS * 10)
+        cin = head_ch
+    head["cls"] = L.conv_init(next(keys), 3, 3, head_ch, NUM_ANCHORS * 1)
+    head["bbox"] = L.conv_init(next(keys), 3, 3, head_ch, NUM_ANCHORS * 4)
+    head["kps"] = L.conv_init(next(keys), 3, 3, head_ch, NUM_ANCHORS * 10)
     # bias the cls conv towards background (focal-style init)
     head["cls"]["b"] = jnp.full((NUM_ANCHORS,), -4.59, jnp.float32)  # σ≈0.01
     head["bbox"]["b"] = jnp.zeros((NUM_ANCHORS * 4,), jnp.float32)
@@ -117,6 +157,22 @@ def init_params(key, input_size: int = 640) -> Dict:
     # per-stride learnable scales for the distance regressions
     params["scales"] = {f"s{s}": jnp.ones((), jnp.float32) for s in STRIDES}
     return params
+
+
+def infer_variant(params: Dict) -> str:
+    """Recover the variant from params structure (block count + widths),
+    so apply() needs no side-channel metadata in the pytree."""
+    backbone = params["backbone"]
+    for name, spec in SCRFD_VARIANTS.items():
+        plan = spec["plan"][1:]
+        if len(plan) != len(backbone):
+            continue
+        if all(
+            blk["pw"]["w"].shape[-1] == cout
+            for (cout, _), blk in zip(plan, backbone)
+        ):
+            return name
+    raise ValueError("params do not match any known SCRFD variant")
 
 
 def _dw_sep_apply(p, x, stride, compute_dtype, train, stats, path):
@@ -148,6 +204,9 @@ def apply(
     """
     x = x.astype(compute_dtype)
     stats: Dict = {}
+    variant = infer_variant(params)
+    plan = SCRFD_VARIANTS[variant]["plan"]
+    tap_names = _variant_taps(plan)
     p = params["stem"]
     y = L.conv2d(p["conv"], x, 2, 1, compute_dtype=compute_dtype)
     y, s = L.batch_norm(p["bn"], y, train)
@@ -156,12 +215,10 @@ def apply(
     y = L.prelu(p["prelu"], y)
 
     taps = {}
-    for i, ((cout, stride), blk) in enumerate(
-        zip(_BACKBONE_PLAN[1:], params["backbone"])
-    ):
+    for i, ((cout, stride), blk) in enumerate(zip(plan[1:], params["backbone"])):
         y = _dw_sep_apply(blk, y, stride, compute_dtype, train, stats, f"backbone/{i}")
-        if cout in _TAPS and stride == 1:
-            taps[_TAPS[cout]] = y
+        if cout in tap_names and stride == 1:
+            taps[tap_names[cout]] = y  # last stride-1 block wins per level
 
     n = params["neck"]
     p5 = L.conv2d(n["lat_c5"], taps["c5"], 1, 0, compute_dtype=compute_dtype)

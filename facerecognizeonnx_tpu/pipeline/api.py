@@ -60,7 +60,9 @@ class FaceDetector:
     # reference: bool loadModel(const std::string&) — src/face_detector.h:19
     def load_model(self, model_path: Optional[str] = None) -> bool:
         params, ok = _load_weights(
-            model_path, scrfd.init_params, self.cfg.seed
+            model_path,
+            lambda key: scrfd.init_params(key, variant=self.cfg.scrfd_variant),
+            self.cfg.seed,
         )
         if not ok:
             return False
@@ -103,6 +105,26 @@ class FaceDetector:
         nms_threshold: Optional[float] = None,
     ) -> Detections:
         """Full-precision fixed-K Detections (device arrays)."""
+        size = self.cfg.det_input_size
+        if self.cfg.host_letterbox and image.shape[:2] != (size, size):
+            from facerecognizeonnx_tpu.runtime.native import (
+                letterbox_native,
+                native_available,
+            )
+
+            if native_available():
+                padded, scale = letterbox_native(np.asarray(image), size)
+                dets = self._detect_jit(padded, score_threshold, nms_threshold)
+                inv = 1.0 / scale
+                return Detections(
+                    boxes=np.asarray(dets.boxes) * inv,
+                    scores=np.asarray(dets.scores),
+                    kps=np.asarray(dets.kps) * inv,
+                    valid=np.asarray(dets.valid),
+                )
+        return self._detect_jit(image, score_threshold, nms_threshold)
+
+    def _detect_jit(self, image, score_threshold, nms_threshold) -> Detections:
         key = (image.shape, score_threshold, nms_threshold)
         if key not in self._jit_cache:
             cfg = self.cfg
