@@ -29,6 +29,13 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument(
+        "--config",
+        default="headline",
+        choices=["headline", "enroll", "gallery", "video"],
+        help="headline = detect+align+embed faces/sec (the driver metric); "
+        "others cover the remaining BASELINE.json configs",
+    )
     args = ap.parse_args()
 
     import jax
@@ -50,10 +57,19 @@ def main():
 
     cfg = PipelineConfig()  # bf16 compute
     log(f"device: {jax.devices()[0]}")
+
+    if args.config == "gallery":
+        return bench_gallery(args, log)
+
     t0 = time.time()
     det_params = init_on_host(lambda: scrfd.init_params(jax.random.PRNGKey(0)))
     arc_params = init_on_host(lambda: arcface.init_params(jax.random.PRNGKey(1)))
     log(f"init {time.time() - t0:.1f}s")
+
+    if args.config == "enroll":
+        return bench_enroll(args, cfg, arc_params, log)
+    if args.config == "video":
+        return bench_video(args, cfg, det_params, arc_params, log)
 
     @jax.jit
     def step(frames):
@@ -95,6 +111,100 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def bench_enroll(args, cfg, arc_params, log):
+    """BASELINE config 3: 256-image batched enrollment (align+embed)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from facerecognizeonnx_tpu.embed.pipeline import embed_crops
+
+    rng = np.random.default_rng(0)
+    batch = 64
+    crops = jnp.asarray(rng.integers(0, 256, (batch, 112, 112, 3), dtype=np.uint8))
+    fn = jax.jit(lambda c: embed_crops(arc_params, c, cfg))
+    jax.block_until_ready(fn(crops))
+    t0 = time.time()
+    iters = max(1, 256 // batch) * 4
+    for _ in range(iters):
+        out = fn(crops)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    rate = batch * iters / dt
+    print(json.dumps({
+        "metric": "batched enrollment embed throughput",
+        "value": round(rate, 1), "unit": "faces/sec",
+        "vs_baseline": round(rate / TARGET_FACES_PER_SEC, 3),
+        "detail": {"batch": batch, "gallery_256_seconds": round(256 / rate, 3)},
+    }))
+
+
+def bench_gallery(args, log):
+    """BASELINE config 5: 100k-embedding 1:N cosine top-k on MXU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from facerecognizeonnx_tpu.ops.pallas_gallery import (
+        gallery_topk_pallas,
+        gallery_topk_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(100_000, 512)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = jnp.asarray(g[:128])
+    g = jnp.asarray(g)
+
+    results = {}
+    for name, fn in (
+        ("pallas_stream", lambda: gallery_topk_pallas(q, g, 5)),
+        ("xla_materialize", lambda: gallery_topk_reference(q, g, 5)),
+    ):
+        try:
+            jfn = jax.jit(lambda _=None, f=fn: f())
+            jax.block_until_ready(jfn())
+            t0 = time.time()
+            for _ in range(10):
+                out = jfn()
+            jax.block_until_ready(out)
+            results[name] = 128 * 10 / (time.time() - t0)
+        except Exception as e:  # pallas may be unsupported on cpu backend
+            log(f"{name} failed: {e}")
+    best = max(results.values()) if results else 0.0
+    print(json.dumps({
+        "metric": "1:N identification, 100k gallery top-5",
+        "value": round(best, 1), "unit": "queries/sec",
+        "vs_baseline": 0.0,
+        "detail": {k: round(v, 1) for k, v in results.items()},
+    }))
+
+
+def bench_video(args, cfg, det_params, arc_params, log):
+    """BASELINE config 4: 1080p frame-loop throughput (host letterbox in
+    the prefetch thread + micro-batched fused device program)."""
+    import numpy as np
+
+    from facerecognizeonnx_tpu.io.imageio import VideoSource
+    from facerecognizeonnx_tpu.pipeline.video import VideoPipeline
+
+    pipe = VideoPipeline(det_params, arc_params, cfg, batch=args.batch)
+    src = VideoSource("synthetic:1920x1080x%d" % (args.batch * (args.iters + 2)))
+    ref = np.zeros(512, np.float32)
+    n = 0
+    for _ in pipe.run(src.frames(), ref_feature=ref):
+        n += 1
+    stats = pipe.stats()
+    fps = stats["frames_per_sec"]
+    print(json.dumps({
+        "metric": "1080p video stream detect+verify",
+        "value": round(fps, 1), "unit": "frames/sec",
+        "vs_baseline": round(fps * FACES_PER_FRAME / TARGET_FACES_PER_SEC, 3),
+        "detail": {"frames": n, "p50_ms": round(stats["p50_ms"], 2),
+                   "p99_ms": round(stats["p99_ms"], 2)},
+    }))
 
 
 if __name__ == "__main__":

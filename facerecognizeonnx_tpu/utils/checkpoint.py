@@ -56,3 +56,35 @@ def save_params(path: str, params) -> None:
 def load_params(path: str):
     with np.load(path) as data:
         return _unflatten({k: data[k] for k in data.files})
+
+
+# ------------------------------------------------------- training states
+# Orbax handles sharded arrays (multi-chip TrainState checkpoints restore
+# with their shardings) — the resume path for train/trainer.py.
+
+
+def save_train_state(path: str, state) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def load_train_state(path: str, like):
+    """Restore a TrainState saved by save_train_state. `like` provides
+    the pytree structure/shardings (e.g. a freshly-initialized state)."""
+    import orbax.checkpoint as ocp
+    import jax
+
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        restore_args = jax.tree_util.tree_map(
+            lambda x: ocp.ArrayRestoreArgs(sharding=getattr(x, "sharding", None)),
+            like,
+        )
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            args=ocp.args.PyTreeRestore(
+                item=like, restore_args=restore_args
+            ),
+        )
+    return type(like)(*restored) if isinstance(restored, (list, tuple)) else restored

@@ -193,6 +193,25 @@ def test_onnx_runner_scrfd_classification(tmp_path, rng):
         assert 0 <= sv.min() and sv.max() <= 1
 
 
+def test_api_loads_onnx_detector(tmp_path, rng):
+    """Full detect() through a real .onnx file: parse → execute → decode
+    → NMS, exercising the C2/C4/C5 chain with an imported graph."""
+    from facerecognizeonnx_tpu.config import PipelineConfig
+    from facerecognizeonnx_tpu.pipeline.api import FaceDetector
+
+    data = _scrfd_like_model(rng, size=640)
+    path = str(tmp_path / "det_500m.onnx")
+    open(path, "wb").write(data)
+    cfg = PipelineConfig(compute_dtype="float32")
+    det = FaceDetector(cfg)
+    assert det.load_model(path)
+    img = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    faces = det.detect(img)
+    assert isinstance(faces, list)  # count arbitrary with random conv weights
+    for f in faces[:2]:
+        assert f.landmarks.shape == (5, 2)
+
+
 def test_api_loads_onnx_recognizer(tmp_path, rng):
     from facerecognizeonnx_tpu.config import PipelineConfig
     from facerecognizeonnx_tpu.pipeline.api import FaceRecognizer
