@@ -1,0 +1,188 @@
+"""Map an exported ArcFace IResNet .onnx onto the native NHWC params.
+
+The graph executor (executor.py) runs any supported ONNX file correctly
+but in NCHW with per-node jnp ops; the NATIVE models (models/arcface.py)
+are the fast TPU path. Torch exports emit nodes in forward-execution
+order, so the IResNet weight sequence is deterministic:
+
+  convs:  stem.conv, then per block conv1, conv2[, down_conv]   + final Gemm
+  bns:    stem.bn,  then per block bn1, bn2, bn3[, down_bn], bn2(post), features
+  prelus: stem.prelu, then one per block
+
+`map_arcface` walks those per-op-type sequences, checks every shape
+against the native skeleton, applies the layout transforms
+(OIHW→HWIO; Gemm rows re-permuted from CHW-flatten to HWC-flatten), and
+then SELF-VERIFIES: native forward vs graph-executor forward on a random
+input must agree to 1e-3 cosine, else the mapping is rejected and the
+caller stays on the executor path. No silent wrong-weights mode exists.
+
+(SCRFD's det_500m backbone is a NAS topology that doesn't correspond to
+the native scrfd module — detector .onnx files always run through the
+graph executor.)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from facerecognizeonnx_tpu.models import arcface
+from facerecognizeonnx_tpu.onnx_import import proto
+from facerecognizeonnx_tpu.onnx_import.executor import Executor
+
+
+def _conv_weight(onnx_w: np.ndarray) -> np.ndarray:
+    return np.transpose(onnx_w, (2, 3, 1, 0))  # OIHW → HWIO
+
+
+def _gemm_weight(onnx_w: np.ndarray, trans_b: bool, spatial: int, cin: int) -> np.ndarray:
+    """(out, in_chw) [or transposed] → (in_hwc, out) with row re-permute."""
+    w = onnx_w if trans_b else onnx_w.T  # → (out, in)
+    out_dim = w.shape[0]
+    w = w.reshape(out_dim, cin, spatial, spatial)  # (out, C, H, W)
+    w = np.transpose(w, (0, 2, 3, 1))  # (out, H, W, C)
+    return w.reshape(out_dim, -1).T.copy()  # (in_hwc, out)
+
+
+def _collect(graph: proto.Graph):
+    init = graph.initializers
+    seq = {"Conv": [], "BatchNormalization": [], "PRelu": [], "Gemm": [], "MatMul": []}
+    for node in graph.nodes:
+        if node.op_type in seq:
+            seq[node.op_type].append(
+                {"node": node, "weights": [init.get(i) for i in node.inputs[1:]]}
+            )
+    return seq
+
+
+def map_arcface(
+    path_or_graph,
+    arch: str = "iresnet50",
+    input_size: int = 112,
+    verify: bool = True,
+) -> Optional[Dict]:
+    """Returns native params, or None if the graph doesn't match `arch`
+    (wrong depth, shape mismatch, or failed numeric self-check)."""
+    graph = (
+        proto.load_model(path_or_graph)
+        if isinstance(path_or_graph, str)
+        else path_or_graph
+    )
+    seq = _collect(graph)
+    convs: List[dict] = seq["Conv"]
+    bns: List[dict] = seq["BatchNormalization"]
+    prelus: List[dict] = seq["PRelu"]
+    gemms: List[dict] = seq["Gemm"] + seq["MatMul"]
+
+    blocks, widths = arcface.IRESNET_SPECS[arch]
+    skeleton = arcface.init_params(jax.random.PRNGKey(0), arch=arch, input_size=input_size)
+
+    ci = iter(convs)
+    bi = iter(bns)
+    pi = iter(prelus)
+
+    def take_conv(dst, kh, cin, cout):
+        try:
+            item = next(ci)
+        except StopIteration:
+            raise _Mismatch("ran out of Conv nodes")
+        w = item["weights"][0]
+        if w is None or w.shape != (cout, cin, kh, kh):
+            raise _Mismatch(f"conv shape {None if w is None else w.shape} != {(cout, cin, kh, kh)}")
+        dst["w"] = _conv_weight(w.astype(np.float32))
+        if len(item["weights"]) > 1 and item["weights"][1] is not None:
+            dst["b"] = item["weights"][1].astype(np.float32)
+
+    def take_bn(dst, c):
+        try:
+            item = next(bi)
+        except StopIteration:
+            raise _Mismatch("ran out of BN nodes")
+        ws = item["weights"]
+        if len(ws) < 4 or any(w is None or w.shape != (c,) for w in ws[:4]):
+            raise _Mismatch(f"bn channels != {c}")
+        dst["scale"], dst["bias"], dst["mean"], dst["var"] = (
+            w.astype(np.float32) for w in ws[:4]
+        )
+
+    def take_prelu(dst, c):
+        try:
+            item = next(pi)
+        except StopIteration:
+            raise _Mismatch("ran out of PRelu nodes")
+        w = item["weights"][0]
+        if w is None or w.size != c:
+            raise _Mismatch(f"prelu channels != {c}")
+        dst["alpha"] = w.reshape(-1).astype(np.float32)
+
+    try:
+        take_conv(skeleton["conv1"], 3, 3, 64)
+        take_bn(skeleton["bn1"], 64)
+        take_prelu(skeleton["prelu1"], 64)
+        inplanes = 64
+        for s, (n, planes) in enumerate(zip(blocks, widths), start=1):
+            for b in range(n):
+                blk = skeleton[f"layer{s}"][b]
+                take_bn(blk["bn1"], inplanes)
+                take_conv(blk["conv1"], 3, inplanes, planes)
+                take_bn(blk["bn2"], planes)
+                take_prelu(blk["prelu"], planes)
+                take_conv(blk["conv2"], 3, planes, planes)
+                take_bn(blk["bn3"], planes)
+                if "down_conv" in blk:
+                    take_conv(blk["down_conv"], 1, inplanes, planes)
+                    take_bn(blk["down_bn"], planes)
+                inplanes = planes
+        take_bn(skeleton["bn2"], widths[-1])
+        if not gemms:
+            raise _Mismatch("no Gemm/MatMul head")
+        gemm = gemms[0]
+        w = gemm["weights"][0]
+        if w is None:
+            raise _Mismatch("Gemm weight not an initializer")
+        spatial = input_size // 16
+        trans_b = bool(gemm["node"].attrs.get("transB", 0))
+        feat_dim = skeleton["fc"]["w"].shape[1]
+        expect_in = widths[-1] * spatial * spatial
+        wt = w if trans_b else w.T
+        if wt.shape != (feat_dim, expect_in):
+            raise _Mismatch(f"fc shape {w.shape} unexpected")
+        skeleton["fc"]["w"] = _gemm_weight(
+            w.astype(np.float32), trans_b, spatial, widths[-1]
+        )
+        if len(gemm["weights"]) > 1 and gemm["weights"][1] is not None:
+            skeleton["fc"]["b"] = gemm["weights"][1].astype(np.float32)
+        take_bn(skeleton["features_bn"], feat_dim)
+        # all sequences must be exhausted — extra nodes mean a different arch
+        for it, tag_ in ((ci, "Conv"), (bi, "BN"), (pi, "PRelu")):
+            if next(it, None) is not None:
+                raise _Mismatch(f"extra {tag_} nodes")
+    except _Mismatch:
+        return None
+
+    if verify:
+        try:
+            rng = np.random.default_rng(0)
+            x = rng.uniform(-1, 1, (1, input_size, input_size, 3)).astype(
+                np.float32
+            )
+            native = np.asarray(arcface.apply(skeleton, x))
+            ex = Executor(graph)
+            ref = np.asarray(
+                ex.run({ex.input_names[0]: np.transpose(x, (0, 3, 1, 2))})[0]
+            ).reshape(1, -1)
+            cos = float(
+                (native * ref).sum()
+                / max(np.linalg.norm(native) * np.linalg.norm(ref), 1e-12)
+            )
+        except Exception:
+            return None  # graph we can't even execute → never trust a mapping
+        if not np.isfinite(cos) or cos < 1 - 1e-3:
+            return None
+    return skeleton
+
+
+class _Mismatch(Exception):
+    pass

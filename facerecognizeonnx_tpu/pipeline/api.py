@@ -34,13 +34,23 @@ from facerecognizeonnx_tpu.utils import checkpoint
 from facerecognizeonnx_tpu.utils.hostinit import init_on_host
 
 
-def _load_weights(path: Optional[str], init_fn, seed: int):
-    """Weights from .npz / .onnx, or deterministic init when path=None."""
+def _load_weights(path: Optional[str], init_fn, seed: int, native_mapper=None):
+    """Weights from .npz / .onnx, or deterministic init when path=None.
+
+    For .onnx, a native_mapper (e.g. onnx_import.native_map.map_arcface)
+    is tried first: it transplants the weights onto the fast NHWC native
+    model and numerically self-verifies; on any mismatch the file runs
+    through the generic graph executor instead."""
     if path is None:
         return init_on_host(lambda: init_fn(jax.random.PRNGKey(seed))), True
     if path.endswith(".onnx"):
         from facerecognizeonnx_tpu.onnx_import import importer
 
+        if native_mapper is not None:
+            mapped = native_mapper(path)
+            if mapped is not None:
+                print("ONNX weights mapped onto the native TPU model")
+                return mapped, True
         return importer.load_onnx_params(path), True
     try:
         return checkpoint.load_params(path), True
@@ -145,8 +155,14 @@ class FaceRecognizer:
         self._jit_cache = {}
 
     def load_model(self, model_path: Optional[str] = None) -> bool:
+        def _map_native(path):
+            from facerecognizeonnx_tpu.onnx_import.native_map import map_arcface
+
+            return map_arcface(path, input_size=self.cfg.rec_input_size)
+
         params, ok = _load_weights(
-            model_path, arcface.init_params, self.cfg.seed + 1
+            model_path, arcface.init_params, self.cfg.seed + 1,
+            native_mapper=_map_native,
         )
         if not ok:
             return False

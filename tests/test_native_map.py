@@ -1,0 +1,66 @@
+"""ONNX → native-params mapping round-trip (real-weights fast path)."""
+
+import jax
+import numpy as np
+import pytest
+
+from facerecognizeonnx_tpu.models import arcface
+from facerecognizeonnx_tpu.onnx_import import proto
+from facerecognizeonnx_tpu.onnx_import.native_map import map_arcface
+from facerecognizeonnx_tpu.utils.hostinit import init_on_host
+from tests.oracles.iresnet_onnx import emit_iresnet_onnx
+
+
+@pytest.fixture(scope="module")
+def r18_small():
+    return init_on_host(
+        lambda: arcface.init_params(
+            jax.random.PRNGKey(3), arch="iresnet18", input_size=32
+        )
+    )
+
+
+def test_roundtrip_recovers_params(r18_small, tmp_path):
+    data = emit_iresnet_onnx(r18_small, "iresnet18", 32)
+    path = str(tmp_path / "r18.onnx")
+    open(path, "wb").write(data)
+    mapped = map_arcface(path, arch="iresnet18", input_size=32)
+    assert mapped is not None
+    flat_a = jax.tree_util.tree_leaves_with_path(r18_small)
+    flat_b = jax.tree_util.tree_leaves_with_path(mapped)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), atol=1e-6, err_msg=str(pa)
+        )
+
+
+def test_mapped_forward_matches_original(r18_small, rng):
+    graph = proto.parse_model(emit_iresnet_onnx(r18_small, "iresnet18", 32))
+    mapped = map_arcface(graph, arch="iresnet18", input_size=32)
+    x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    a = np.asarray(arcface.apply(r18_small, x))
+    b = np.asarray(arcface.apply(mapped, x))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_wrong_arch_rejected(r18_small):
+    graph = proto.parse_model(emit_iresnet_onnx(r18_small, "iresnet18", 32))
+    assert map_arcface(graph, arch="iresnet50", input_size=32) is None
+
+
+def test_node_order_mismatch_rejected(r18_small):
+    """A graph whose conv NODE ORDER differs from the assumed forward
+    order (same shapes at the swapped sites) must never yield a silently
+    wrong mapping — the self-verification gate rejects it."""
+    graph = proto.parse_model(emit_iresnet_onnx(r18_small, "iresnet18", 32))
+    conv_idx = [
+        i for i, n in enumerate(graph.nodes)
+        if n.op_type == "Conv"
+        and graph.initializers[n.inputs[1]].shape == (64, 64, 3, 3)
+    ]
+    assert len(conv_idx) >= 2
+    i, j = conv_idx[0], conv_idx[1]
+    graph.nodes[i], graph.nodes[j] = graph.nodes[j], graph.nodes[i]
+    assert map_arcface(graph, arch="iresnet18", input_size=32) is None
