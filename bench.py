@@ -76,7 +76,12 @@ def main():
         dets, feats = frames_to_features(
             det_params, arc_params, frames, cfg, max_faces_embed=FACES_PER_FRAME
         )
-        return feats
+        # Chain the next input on this step's output: every iteration is
+        # data-dependent on the previous one, so no runtime layer can
+        # elide/replay repeated identical calls (the axon client caches
+        # identical (executable, args) executions otherwise).
+        bump = (jnp.abs(jnp.sum(feats)) * 0.0 + 1.0).astype(jnp.uint8)
+        return feats, frames + bump
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
@@ -84,15 +89,17 @@ def main():
     )
 
     t0 = time.time()
-    jax.block_until_ready(step(frames))
+    feats, frames = step(frames)
+    jax.block_until_ready(feats)
     log(f"compile+first run {time.time() - t0:.1f}s")
     for _ in range(2):
-        jax.block_until_ready(step(frames))
+        feats, frames = step(frames)
+    jax.block_until_ready(feats)
 
     t0 = time.time()
     for _ in range(args.iters):
-        out = step(frames)
-    jax.block_until_ready(out)
+        feats, frames = step(frames)
+    jax.block_until_ready(feats)
     dt = time.time() - t0
 
     frames_per_sec = args.batch * args.iters / dt

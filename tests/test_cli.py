@@ -35,6 +35,16 @@ def test_simple_mode(jpegs, capsys):
     assert ("同一人" in out) or ("不同人" in out)
 
 
+def test_compare_mode(jpegs, capsys):
+    rc = main(["compare", jpegs[0], jpegs[1]])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # random-weight detector saturates → faces exist → full compare path
+    assert "图像1检测到" in out
+    assert "特征维度: 512" in out
+    assert ("同一人" in out) or ("不同人" in out)
+
+
 def test_detect_mode_writes_output(jpegs, capsys):
     import os
 

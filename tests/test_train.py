@@ -44,6 +44,26 @@ def test_softmax_xent_matches_manual(rng):
     assert got == pytest.approx(ref, abs=1e-6)
 
 
+def test_remat_step_matches_plain(rng):
+    """jax.checkpoint must change memory, not math."""
+    mesh = make_mesh(("data", "model"), (4, 2))
+    cfg = PipelineConfig(compute_dtype="float32", rec_input_size=32)
+    images = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 16, 8), jnp.int32)
+    losses = []
+    for remat in (False, True):
+        # fresh (deterministic) state per run — the step donates its input
+        state = init_train_state(
+            jax.random.PRNGKey(0), num_classes=16, cfg=cfg, arch="iresnet18",
+            mesh=mesh, lr=0.1,
+        )
+        step = make_train_step(mesh, cfg, lr=0.1, remat=remat)
+        with mesh:
+            _, loss = step(state, images, labels)
+        losses.append(float(loss))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5)
+
+
 def test_train_step_decreases_loss_dp_mp(rng):
     """Full sharded train step on a (4 data × 2 model) virtual mesh:
     loss should drop when repeatedly fitting one tiny batch."""
