@@ -59,7 +59,10 @@ def postprocess(
     top_kps = kps[idx] * (1.0 / scale)
     valid = top_scores > score_thr
 
-    boxes_s, scores_s, keep, order = nms_fixed(top_boxes, top_scores, nms_thr, valid)
+    # lax.top_k output is already descending → skip the re-sort in NMS
+    boxes_s, scores_s, keep, order = nms_fixed(
+        top_boxes, top_scores, nms_thr, valid, assume_sorted=True
+    )
     kps_s = top_kps[order]
 
     # compact survivors to the front (stable sort keeps score order)

@@ -42,32 +42,52 @@ def nms_fixed(
     scores: jnp.ndarray,
     iou_threshold: float,
     valid: jnp.ndarray | None = None,
+    assume_sorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over a fixed-size candidate set.
 
     boxes: (K, 4) x1,y1,x2,y2; scores: (K,); valid: optional (K,) bool.
-    Returns (boxes, scores, keep, order_inv) where boxes/scores are
-    re-sorted by descending score, keep is the (K,) survivor mask in
-    that sorted order, and order_inv holds sorted positions' original
-    indices (for gathering side data like landmarks).
+    assume_sorted=True skips re-sorting when the caller already provides
+    descending-score order (e.g. straight out of lax.top_k).
+    Returns (boxes, scores, keep, order) where boxes/scores are sorted by
+    descending score, keep is the (K,) survivor mask in that order, and
+    order holds the original indices (for gathering side data).
+
+    Exact greedy semantics, computed as a FIXPOINT instead of K
+    sequential steps: iterate keep[i] = no kept higher-scoring box
+    overlaps i until unchanged. Each iteration is one (K, K) masked
+    matvec on the VPU; convergence takes the length of the longest
+    suppression chain (2-4 for real face layouts), so the sequential
+    depth collapses from K to ~4 with bit-identical survivors (the
+    fixpoint of that operator IS the greedy solution — induction on
+    score rank: row i is final once rows < i are final).
     """
     K = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((K,), bool)
     neg_inf = jnp.float32(-jnp.inf)
     masked_scores = jnp.where(valid, scores, neg_inf)
-    order = jnp.argsort(-masked_scores)
-    boxes_s = boxes[order]
-    scores_s = masked_scores[order]
-    valid_s = valid[order]
+    if assume_sorted:
+        order = jnp.arange(K)
+        boxes_s, scores_s, valid_s = boxes, masked_scores, valid
+    else:
+        order = jnp.argsort(-masked_scores)
+        boxes_s = boxes[order]
+        scores_s = masked_scores[order]
+        valid_s = valid[order]
 
     iou = iou_matrix(boxes_s, boxes_s)
-    later = jnp.triu(jnp.ones((K, K), bool), k=1)  # j strictly after i
+    # suppressor[j, i]: j ranks strictly above i and overlaps it
+    suppressor = jnp.triu(iou > iou_threshold, k=1)
 
-    def body(i, keep):
-        # box i only suppresses if it itself is still kept and valid
-        suppress = later[i] & (iou[i] > iou_threshold) & keep[i]
-        return keep & ~suppress
+    def cond(state):
+        keep, changed = state
+        return changed
 
-    keep = lax.fori_loop(0, K, body, valid_s)
+    def body(state):
+        keep, _ = state
+        new_keep = valid_s & ~jnp.any(suppressor & keep[:, None], axis=0)
+        return new_keep, jnp.any(new_keep != keep)
+
+    keep, _ = lax.while_loop(cond, body, (valid_s, jnp.asarray(True)))
     return boxes_s, scores_s, keep, order

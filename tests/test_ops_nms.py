@@ -69,6 +69,39 @@ def test_nms_respects_valid_mask(rng):
     assert not keep[4:].any()
 
 
+def test_nms_assume_sorted_matches_unsorted(rng):
+    boxes, scores = _random_boxes(rng, 32)
+    order = np.argsort(-scores, kind="stable")
+    b1, s1, k1, _ = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.4)
+    b2, s2, k2, _ = nms_fixed(
+        jnp.asarray(boxes[order]), jnp.asarray(scores[order]), 0.4,
+        assume_sorted=True,
+    )
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2))
+
+
+def test_nms_long_suppression_chain_exact():
+    """Pathological alternating chain — the fixpoint iteration must still
+    match greedy exactly (worst case for convergence count)."""
+    n = 40
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        # adjacent IoU = 60/140 ≈ 0.43 > 0.3; next-but-one ≈ 0.11 < 0.3
+        boxes[i] = [i * 4.0, 0, i * 4.0 + 10.0, 10.0]
+    scores = np.linspace(1.0, 0.1, n).astype(np.float32)
+    order_ref, keep_ref = greedy_nms_oracle(boxes, scores, 0.3)
+    _, _, keep, order = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.3)
+    got = np.asarray(keep)
+    expect = np.zeros(n, bool)
+    expect[order_ref[keep_ref]] = True
+    got_orig = np.zeros(n, bool)
+    got_orig[np.asarray(order)[got]] = True
+    np.testing.assert_array_equal(got_orig, expect)
+    # alternating pattern: every other box survives
+    assert got_orig[::2].all() and not got_orig[1::2].any()
+
+
 def test_nms_suppressed_box_does_not_suppress():
     # Classic chain: A (0.9) overlaps B (0.8) overlaps C (0.7); A∩C empty.
     # Greedy: A kills B; B (dead) must NOT kill C.
