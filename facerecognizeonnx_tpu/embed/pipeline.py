@@ -20,7 +20,38 @@ from facerecognizeonnx_tpu.models import arcface
 from facerecognizeonnx_tpu.models.layers import l2_normalize
 from facerecognizeonnx_tpu.ops.image import normalize_to_rgb, resize_bilinear
 from facerecognizeonnx_tpu.ops.umeyama import ARCFACE_DST_5PTS, umeyama
-from facerecognizeonnx_tpu.ops.warp import crop_resize_affine, warp_affine
+from facerecognizeonnx_tpu.ops.warp import crop_resize_affine, warp_affine_batch
+
+
+def _align_matrices(kps, boxes, h, w, size):
+    """Per-face warp matrices with the crop fallback selected in-graph."""
+    M, valid = umeyama(kps, jnp.asarray(ARCFACE_DST_5PTS))
+    clipped = jnp.stack(
+        [
+            jnp.clip(boxes[..., 0], 0.0, w - 1.0),
+            jnp.clip(boxes[..., 1], 0.0, h - 1.0),
+            jnp.clip(boxes[..., 2], 1.0, float(w)),
+            jnp.clip(boxes[..., 3], 1.0, float(h)),
+        ],
+        axis=-1,
+    )
+    M_fb = crop_resize_affine(clipped, size, size)
+    return jnp.where(valid[..., None, None], M, M_fb)
+
+
+def align_faces_batch(
+    frames_u8: jnp.ndarray,
+    kps: jnp.ndarray,
+    boxes: jnp.ndarray,
+    cfg: PipelineConfig,
+) -> jnp.ndarray:
+    """Align K faces of each of B frames → (B, K, S, S, 3) in ONE gather.
+
+    frames: (B, H, W, 3); kps: (B, K, 5, 2); boxes: (B, K, 4)."""
+    size = cfg.rec_input_size
+    h, w = frames_u8.shape[1], frames_u8.shape[2]
+    M_sel = _align_matrices(kps, boxes, h, w, size)  # (B, K, 2, 3)
+    return warp_affine_batch(frames_u8, M_sel, size, size)
 
 
 def align_faces(
@@ -36,22 +67,7 @@ def align_faces(
     the reference (src/face_recognizer.cpp:116-127: crop box ∩ image,
     resize). Fallback boxes are pre-clipped to the image here.
     """
-    size = cfg.rec_input_size
-    h, w = image_u8.shape[0], image_u8.shape[1]
-
-    M, valid = umeyama(kps, jnp.asarray(ARCFACE_DST_5PTS))  # (K, 2, 3)
-    clipped = jnp.stack(
-        [
-            jnp.clip(boxes[:, 0], 0.0, w - 1.0),
-            jnp.clip(boxes[:, 1], 0.0, h - 1.0),
-            jnp.clip(boxes[:, 2], 1.0, float(w)),
-            jnp.clip(boxes[:, 3], 1.0, float(h)),
-        ],
-        axis=-1,
-    )
-    M_fb = crop_resize_affine(clipped, size, size)
-    M_sel = jnp.where(valid[:, None, None], M, M_fb)
-    return jax.vmap(lambda m: warp_affine(image_u8, m, size, size))(M_sel)
+    return align_faces_batch(image_u8[None], kps[None], boxes[None], cfg)[0]
 
 
 def embed_crops(

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from facerecognizeonnx_tpu.config import PipelineConfig
 from facerecognizeonnx_tpu.detect.decode import decode_outputs
 from facerecognizeonnx_tpu.detect.pipeline import postprocess
-from facerecognizeonnx_tpu.embed.pipeline import align_faces, embed_crops
+from facerecognizeonnx_tpu.embed.pipeline import align_faces_batch, embed_crops
 from facerecognizeonnx_tpu.models import scrfd
 from facerecognizeonnx_tpu.ops.image import normalize_to_rgb
 from facerecognizeonnx_tpu.types import Detections
@@ -54,11 +54,8 @@ def frames_to_features(
         valid=dets.valid[:, :k],
     )
 
-    def embed_one(frame, kps_k, boxes_k, valid_k):
-        crops = align_faces(frame, kps_k, boxes_k, cfg)
-        return crops, valid_k
-
-    crops, valids = jax.vmap(embed_one)(frames_u8, top.kps, top.boxes, top.valid)
+    crops = align_faces_batch(frames_u8, top.kps, top.boxes, cfg)
+    valids = top.valid
     b, kk = crops.shape[0], crops.shape[1]
     feats = embed_crops(
         arc_params, crops.reshape((b * kk,) + crops.shape[2:]), cfg, dtype

@@ -80,22 +80,36 @@ class VideoPipeline:
         buf: List[np.ndarray] = []
         scales: List[float] = []
         n_out = 0
+        # Double buffering: the device program for micro-batch N+1 is
+        # dispatched BEFORE batch N's results are materialized to host,
+        # so TPU compute overlaps host-side postprocess/labeling (the
+        # device-level analog of the PrefetchLoader's host thread).
+        pending = None  # (device (dets, feats), batch_len, scales)
 
-        def flush():
-            nonlocal n_out
+        def dispatch():
+            nonlocal pending
             if not buf:
-                return
-            pad_to = self.batch
-            frames = np.stack(buf + [buf[-1]] * (pad_to - len(buf)))
+                return None
+            frames = np.stack(buf + [buf[-1]] * (self.batch - len(buf)))
             with self.counter.event(items=len(buf)):
-                dets, feats = self._program(jnp.asarray(frames))
-                feats = np.asarray(feats)
+                out = self._program(jnp.asarray(frames))
+            prev, pending = pending, (out, len(buf), list(scales))
+            buf.clear()
+            scales.clear()
+            return prev
+
+        def materialize(entry):
+            nonlocal n_out
+            if entry is None:
+                return
+            (dets, feats), n, batch_scales = entry
+            feats = np.asarray(feats)
             dets = jax.tree_util.tree_map(np.asarray, dets)
-            for i in range(len(buf)):
+            for i in range(n):
                 det_i = Detections(
-                    boxes=dets.boxes[i] / scales[i],
+                    boxes=dets.boxes[i] / batch_scales[i],
                     scores=dets.scores[i],
-                    kps=dets.kps[i] / scales[i],
+                    kps=dets.kps[i] / batch_scales[i],
                     valid=dets.valid[i],
                 )
                 labels = []
@@ -106,23 +120,24 @@ class VideoPipeline:
                             continue
                         sim = float((feats[i, k] @ ref_feature + 1.0) / 2.0)
                         labels.append("Match" if sim > thr else "Unknown")
-                yield_items.append((n_out, det_i, feats[i], labels))
+                yield (n_out, det_i, feats[i], labels)
                 n_out += 1
-            buf.clear()
-            scales.clear()
 
-        yield_items: List = []
+        stop = False
         for frame, scale in self._letterboxed_frames(frame_iter):
             buf.append(frame)
             scales.append(scale)
             if len(buf) == self.batch:
-                flush()
-                yield from yield_items
-                yield_items.clear()
-            if max_frames is not None and n_out + len(buf) >= max_frames:
+                yield from materialize(dispatch())
+            if max_frames is not None and n_out + len(buf) + (
+                pending[1] if pending else 0
+            ) >= max_frames:
+                stop = True
                 break
-        flush()
-        yield from yield_items
+        if not stop or buf:
+            yield from materialize(dispatch())
+        yield from materialize(pending)
+        pending = None
 
     def stats(self):
         return self.counter.summary()
