@@ -214,9 +214,17 @@ def bench_video(args, cfg, det_params, arc_params, log):
     from facerecognizeonnx_tpu.io.imageio import VideoSource
     from facerecognizeonnx_tpu.pipeline.video import VideoPipeline
 
+    from facerecognizeonnx_tpu.utils.observability import Counter
+
     pipe = VideoPipeline(det_params, arc_params, cfg, batch=args.batch)
-    src = VideoSource("synthetic:1920x1080x%d" % (args.batch * (args.iters + 2)))
     ref = np.zeros(512, np.float32)
+    # warmup: compile + cache the program off the clock
+    warm = VideoSource("synthetic:1920x1080x%d" % (2 * args.batch))
+    for _ in pipe.run(warm.frames(), ref_feature=ref):
+        pass
+    pipe.counter = Counter("frames")
+
+    src = VideoSource("synthetic:1920x1080x%d" % (args.batch * args.iters))
     n = 0
     for _ in pipe.run(src.frames(), ref_feature=ref):
         n += 1

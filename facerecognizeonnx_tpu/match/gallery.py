@@ -92,7 +92,12 @@ class GalleryBank:
             sims, idx = sharded_topk_search(queries, self._feats, top_k)
             sims, idx = np.asarray(sims), np.asarray(idx)
         elif method == "pallas" or (
-            method == "auto" and len(self) >= 16384 and _on_tpu()
+            # Measured on v5e: XLA materialize+top_k wins while the (Q, G)
+            # similarity matrix fits HBM comfortably (42k q/s vs 20k q/s at
+            # Q=128, G=100k); the streaming kernel is for when it doesn't.
+            method == "auto"
+            and queries.shape[0] * len(self) > 2_000_000_000
+            and _on_tpu()
         ):
             import jax.numpy as jnp
 

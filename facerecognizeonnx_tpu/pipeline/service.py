@@ -1,0 +1,179 @@
+"""Micro-batching identification service (production serving surface).
+
+Concurrent callers submit frames; a worker thread coalesces requests
+into device micro-batches (host letterbox → ONE fused
+detect+align+embed program → gallery search) and resolves futures. This
+is the serving-shaped wrapper over the same programs the CLI uses —
+the reference has no serving story at all (single-threaded CLI loop,
+src/main.cpp:214-257).
+
+Latency/throughput knobs: max_batch (device batch), batch_window_ms
+(how long to wait for co-riders before dispatching a partial batch).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facerecognizeonnx_tpu.config import PipelineConfig
+from facerecognizeonnx_tpu.match.gallery import GalleryBank
+from facerecognizeonnx_tpu.pipeline.fused import frames_to_features
+
+
+@dataclass
+class IdentifyResult:
+    boxes: np.ndarray  # (K, 4) original-image pixels
+    scores: np.ndarray  # (K,)
+    valid: np.ndarray  # (K,) bool
+    names: List[List[str]]  # per valid face slot
+    sims: np.ndarray  # (K, top_k)
+
+
+@dataclass
+class _Request:
+    image: np.ndarray
+    top_k: int
+    future: Future = field(default_factory=Future)
+
+
+class IdentifyService:
+    def __init__(
+        self,
+        det_params,
+        arc_params,
+        bank: GalleryBank,
+        cfg: PipelineConfig = PipelineConfig(),
+        max_batch: int = 8,
+        batch_window_ms: float = 5.0,
+        max_faces: int = 8,
+    ):
+        self.cfg = cfg
+        self.bank = bank
+        self.max_batch = max_batch
+        self.window_s = batch_window_ms / 1e3
+        self.max_faces = max_faces
+        self._program = jax.jit(
+            lambda frames: frames_to_features(
+                det_params, arc_params, frames, cfg, max_faces
+            )
+        )
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._batches_run = 0
+        self._requests_served = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- client
+
+    def identify_async(self, image_bgr: np.ndarray, top_k: int = 1) -> Future:
+        req = _Request(image=image_bgr, top_k=top_k)
+        self._q.put(req)
+        return req.future
+
+    def identify(
+        self, image_bgr: np.ndarray, top_k: int = 1, timeout: float = 120.0
+    ) -> IdentifyResult:
+        return self.identify_async(image_bgr, top_k).result(timeout)
+
+    def stats(self):
+        return {
+            "batches": self._batches_run,
+            "requests": self._requests_served,
+            "avg_batch": self._requests_served / max(1, self._batches_run),
+        }
+
+    def close(self):
+        self._q.put(None)
+        self._worker.join(timeout=30)
+
+    # ------------------------------------------------------------- worker
+
+    def _letterbox(self, image: np.ndarray) -> Tuple[np.ndarray, float]:
+        size = self.cfg.det_input_size
+        try:
+            from facerecognizeonnx_tpu.runtime.native import (
+                letterbox_native,
+                native_available,
+            )
+
+            if native_available():
+                return letterbox_native(image, size)
+        except Exception:
+            pass
+        from facerecognizeonnx_tpu.ops.image import letterbox
+
+        padded, scale = letterbox(jnp.asarray(image), size)
+        return np.asarray(padded, np.uint8), scale
+
+    def _run(self):
+        closed = False
+        while not closed:
+            try:
+                first = self._q.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.perf_counter() + self.window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    closed = True
+                    break
+                batch.append(nxt)
+            try:
+                self._process(batch)
+            except Exception as e:  # pragma: no cover - defensive
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def _process(self, batch: List[_Request]):
+        frames, scales = [], []
+        for req in batch:
+            padded, scale = self._letterbox(req.image)
+            frames.append(padded)
+            scales.append(scale)
+        pad_to = self.max_batch
+        stacked = np.stack(frames + [frames[-1]] * (pad_to - len(frames)))
+        dets, feats = self._program(jnp.asarray(stacked))
+        feats = np.asarray(feats)
+        dets = jax.tree_util.tree_map(np.asarray, dets)
+        self._batches_run += 1
+        for i, req in enumerate(batch):
+            valid = dets.valid[i][: self.max_faces]
+            k = int(valid.sum())
+            names: List[List[str]] = [[] for _ in range(self.max_faces)]
+            sims = np.zeros((self.max_faces, req.top_k), np.float32)
+            if k and len(self.bank):
+                n, s = self.bank.search(feats[i][:k], top_k=req.top_k)
+                for j in range(k):
+                    names[j] = n[j]
+                    sims[j, : len(s[j])] = s[j]
+            inv = 1.0 / scales[i]
+            req.future.set_result(
+                IdentifyResult(
+                    boxes=dets.boxes[i][: self.max_faces] * inv,
+                    scores=dets.scores[i][: self.max_faces],
+                    valid=valid,
+                    names=names,
+                    sims=sims,
+                )
+            )
+            self._requests_served += 1
