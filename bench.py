@@ -61,8 +61,9 @@ def main():
         if not args.json_only:
             print(*a, file=sys.stderr)
 
-    cfg = PipelineConfig()  # bf16 compute
-    log(f"device: {jax.devices()[0]}")
+    on_tpu = not args.cpu and jax.devices()[0].platform != "cpu"
+    cfg = PipelineConfig(warp_impl="pallas" if on_tpu else "gather")  # bf16 compute
+    log(f"device: {jax.devices()[0]} warp={cfg.warp_impl}")
 
     if args.config == "gallery":
         return bench_gallery(args, log)

@@ -47,6 +47,13 @@ class PipelineConfig:
     # heterogeneous photo sets; SURVEY.md §7 hard parts).
     host_letterbox: bool = False
     scrfd_variant: str = "500m"  # 500m | 2.5g | 10g (det_* model family)
+    # Alignment warp implementation:
+    #   "gather" — exact cv2-bilinear parity (4 gather indices/pixel)
+    #   "banded" — banded-gather + MXU interpolation matmuls (XLA)
+    #   "pallas" — Mosaic kernel: per-face window DMA + MXU interpolation
+    #              (ops/warp_pallas.py, TPU only; 7.9ms vs 20ms for 64
+    #              faces on v5e; ≤0.5-LSB p99 deviation vs "gather")
+    warp_impl: str = "gather"
     param_dtype: str = "float32"
     # Mesh axis names used by parallel/ and train/.
     data_axis: str = "data"

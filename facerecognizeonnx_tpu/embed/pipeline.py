@@ -51,6 +51,14 @@ def align_faces_batch(
     size = cfg.rec_input_size
     h, w = frames_u8.shape[1], frames_u8.shape[2]
     M_sel = _align_matrices(kps, boxes, h, w, size)  # (B, K, 2, 3)
+    if cfg.warp_impl == "pallas":  # TPU-only Mosaic kernel (fastest)
+        from facerecognizeonnx_tpu.ops.warp_pallas import warp_affine_pallas
+
+        return warp_affine_pallas(frames_u8.astype(jnp.uint8), M_sel, size)
+    if cfg.warp_impl == "banded":
+        from facerecognizeonnx_tpu.ops.warp_banded import warp_affine_banded
+
+        return warp_affine_banded(frames_u8.astype(jnp.uint8), M_sel, size)
     return warp_affine_batch(frames_u8, M_sel, size, size)
 
 

@@ -1,0 +1,220 @@
+"""Pallas TPU warp kernel: per-face window DMA + MXU interpolation.
+
+Every XLA-level warp formulation bottoms out in lax.gather, which on
+TPU costs per-index and tops out ~12 GB/s even for big windowed slices
+(docs/PERFORMANCE.md). This kernel bypasses gather entirely:
+
+  host prologue (XLA): 4-level channels-first mip pyramid
+      (B, 4, 3, H, W) uint8, level picked per face so its whole source
+      AABB fits a static WIN x WIN window
+  kernel, grid (faces, chunks):
+      chunk 0: ONE async DMA pulls the face's (3, WIN, WIN) window
+               HBM → VMEM (76 KB — a streaming copy, not a gather)
+      each chunk: 28 output rows × 112 cols as 3136 flat pixels;
+               bilinear = hat-weight matrices built from iota, then
+               per-channel (3136, WIN) @ (WIN, WIN) MXU matmul (y-pass)
+               and an elementwise row-reduction (x-pass)
+
+Semantics match ops/warp_banded.py (zero border, box-filtered mips for
+faces bigger than the window); level-0 faces are exact bilinear up to
+bf16 hat-weight quantization (~1 intensity LSB).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from facerecognizeonnx_tpu.ops.warp import invert_affine
+
+NUM_LEVELS = 4
+# DMA starts must be tile-aligned (sublane 16 for bf16, lane 128), so the
+# window is oversized to keep ≥COVER px of guaranteed coverage after
+# flooring the start to alignment.
+WIN_Y = 176  # 16-aligned start + 158 coverage (slice len ÷16)
+WIN_X = 384  # 128-aligned start + 158 coverage (slice len ÷128)
+COVER = 158.0
+ALIGN_Y, ALIGN_X = 16, 128
+PAD_H, PAD_W = 656, 768  # canvas padding so aligned windows always fit
+OUT = 112
+ROWS_PER_CHUNK = 28
+CHUNKS = OUT // ROWS_PER_CHUNK  # 4
+COLS_PAD = 128  # lane-aligned column count; cols 112..127 are padding
+PIX = ROWS_PER_CHUNK * COLS_PAD  # 3584 flat (row, padded-col) pixels/chunk
+
+
+def build_pyramid_cf(frames_u8: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) u8 → (B, 4, 3, H, W) bf16 channels-first canvases.
+
+    bf16 because Mosaic has no u8→bf16 cast in-kernel; uint8 values are
+    exact in bf16 and the matmuls want bf16 operands anyway."""
+    B, H, W, _ = frames_u8.shape
+    assert H <= PAD_H - ALIGN_Y and W <= PAD_W - ALIGN_X, (H, W)
+    base = jnp.transpose(frames_u8, (0, 3, 1, 2)).astype(jnp.float32)
+    level = base
+    canvases = []
+    for lvl in range(NUM_LEVELS):
+        if lvl:
+            level = (
+                lax.reduce_window(
+                    level, 0.0, lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+                )
+                * 0.25
+            )
+        canvas = jnp.zeros((B, 3, PAD_H, PAD_W), jnp.float32)
+        canvases.append(lax.dynamic_update_slice(canvas, level, (0, 0, 0, 0)))
+    pyr = jnp.stack(canvases, axis=1)  # (B, 4, 3, PAD_H, PAD_W) f32
+    return jnp.round(pyr).astype(jnp.bfloat16)
+
+
+def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem):
+    f = pl.program_id(0)
+    chunk = pl.program_id(1)
+
+    @pl.when(chunk == 0)
+    def _fetch():
+        b = iparams_ref[f, 0]
+        lvl = iparams_ref[f, 1]
+        y_lo = pl.multiple_of(iparams_ref[f, 2], ALIGN_Y)
+        x_lo = pl.multiple_of(iparams_ref[f, 3], ALIGN_X)
+        dma = pltpu.make_async_copy(
+            pyr_ref.at[b, lvl, :, pl.ds(y_lo, WIN_Y), pl.ds(x_lo, WIN_X)],
+            win_scr,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+
+    af = fparams_ref[f, 0]
+    bf_ = fparams_ref[f, 1]
+    cf = fparams_ref[f, 2]
+    df = fparams_ref[f, 3]
+    tx_loc = fparams_ref[f, 4]
+    ty_loc = fparams_ref[f, 5]
+
+    i0 = (chunk * ROWS_PER_CHUNK).astype(jnp.int32)
+    z = lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    jj = (z & (COLS_PAD - 1)).astype(jnp.float32)  # z % 128
+    ii = ((z >> 7) + i0).astype(jnp.float32)  # z // 128 + row offset
+    lx = af * jj + bf_ * ii + tx_loc  # (PIX, 1)
+    ly = cf * jj + df * ii + ty_loc
+    lx = jnp.clip(lx, -2.0, WIN_X + 1.0)
+    ly = jnp.clip(ly, -2.0, WIN_Y + 1.0)
+
+    ry = lax.broadcasted_iota(jnp.int32, (1, WIN_Y), 1).astype(jnp.float32)
+    rx = lax.broadcasted_iota(jnp.int32, (1, WIN_X), 1).astype(jnp.float32)
+    yw = jnp.maximum(0.0, 1.0 - jnp.abs(ly - ry)).astype(jnp.bfloat16)
+    xw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - rx)).astype(jnp.float32)
+
+    for c in range(3):
+        win_c = win_scr[c]  # (WIN_Y, WIN_X) bf16
+        t = jnp.dot(yw, win_c, preferred_element_type=jnp.float32)  # (PIX, WIN)
+        out_ref[0, c, :] = jnp.sum(t * xw, axis=1)
+    out_ref[0, 3, :] = jnp.zeros((PIX,), jnp.float32)
+
+
+def warp_affine_pallas(
+    frames_u8: jnp.ndarray,
+    Ms: jnp.ndarray,
+    out_size: int = OUT,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, H, W, 3) u8 + (B, K, 2, 3) forward affines →
+    (B, K, out, out, 3) f32 BGR (zero border)."""
+    assert out_size == OUT, "kernel is specialized to 112 output"
+    B, H, W, _ = frames_u8.shape
+    K = Ms.shape[1]
+    N = B * K
+
+    pyramid = build_pyramid_cf(frames_u8)
+
+    Minv = jax.vmap(jax.vmap(invert_affine))(Ms)
+    a, b_, tx = Minv[..., 0, 0], Minv[..., 0, 1], Minv[..., 0, 2]
+    c, d, ty = Minv[..., 1, 0], Minv[..., 1, 1], Minv[..., 1, 2]
+
+    # level: the face's full source AABB must fit the guaranteed window
+    # coverage (window minus alignment slack)
+    span_x = (OUT - 1) * (jnp.abs(a) + jnp.abs(b_)) + 2.0
+    span_y = (OUT - 1) * (jnp.abs(c) + jnp.abs(d)) + 2.0
+    extent = jnp.maximum(span_x, span_y)
+    level = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(extent / COVER, 1e-6))),
+        0,
+        NUM_LEVELS - 1,
+    )
+    factor = jnp.exp2(level)
+
+    af, bf_, cf, df = (v / factor for v in (a, b_, c, d))
+    txf = (tx + 0.5) / factor - 0.5
+    tyf = (ty + 0.5) / factor - 0.5
+
+    big = 1e7
+    x_min = jnp.clip(
+        jnp.minimum(af * (OUT - 1), 0.0)
+        + jnp.minimum(bf_ * (OUT - 1), 0.0)
+        + txf,
+        -big,
+        big,
+    )
+    y_min = jnp.clip(
+        jnp.minimum(cf * (OUT - 1), 0.0)
+        + jnp.minimum(df * (OUT - 1), 0.0)
+        + tyf,
+        -big,
+        big,
+    )
+    # floor starts to DMA tile alignment; canvas padding guarantees the
+    # aligned window always fits and still covers the in-frame samples
+    max_x = float(((PAD_W - WIN_X) // ALIGN_X) * ALIGN_X)
+    max_y = float(((PAD_H - WIN_Y) // ALIGN_Y) * ALIGN_Y)
+    x_lo = jnp.clip(jnp.floor(x_min / ALIGN_X) * ALIGN_X, 0.0, max_x)
+    y_lo = jnp.clip(jnp.floor(y_min / ALIGN_Y) * ALIGN_Y, 0.0, max_y)
+
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, K))
+    iparams = jnp.stack(
+        [
+            b_idx.reshape(-1),
+            level.astype(jnp.int32).reshape(-1),
+            y_lo.astype(jnp.int32).reshape(-1),
+            x_lo.astype(jnp.int32).reshape(-1),
+        ],
+        axis=-1,
+    )  # (N, 4) int32
+    fparams = jnp.stack(
+        [
+            af.reshape(-1),
+            bf_.reshape(-1),
+            cf.reshape(-1),
+            df.reshape(-1),
+            (txf - x_lo).reshape(-1),
+            (tyf - y_lo).reshape(-1),
+        ],
+        axis=-1,
+    ).astype(jnp.float32)  # (N, 6)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, CHUNKS),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 4, PIX), lambda f, ch, *_: (f, 0, ch), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, WIN_Y, WIN_X), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, 4, CHUNKS * PIX), jnp.float32),
+        interpret=interpret,
+    )(iparams, fparams, pyramid)
+
+    crops = out[:, :3].reshape(B, K, 3, OUT, COLS_PAD)[..., :OUT]
+    return jnp.transpose(crops, (0, 1, 3, 4, 2))

@@ -1,0 +1,59 @@
+"""Pallas warp kernel vs the banded/gather references (interpret mode)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from facerecognizeonnx_tpu.ops.warp import warp_affine_batch
+from facerecognizeonnx_tpu.ops.warp_pallas import build_pyramid_cf, warp_affine_pallas
+from tests.test_warp_banded import _face_matrix
+
+
+def test_pyramid_cf_layout(rng):
+    from facerecognizeonnx_tpu.ops.warp_pallas import PAD_H, PAD_W
+
+    frames = jnp.asarray(rng.integers(0, 256, (1, 256, 256, 3), dtype=np.uint8))
+    pyr = np.asarray(build_pyramid_cf(frames)).astype(np.float32)
+    assert pyr.shape == (1, 4, 3, PAD_H, PAD_W)
+    np.testing.assert_array_equal(
+        pyr[0, 0, :, :256, :256], np.asarray(frames)[0].transpose(2, 0, 1)
+    )
+    assert (pyr[0, 0, :, 256:] == 0).all()  # canvas padding stays zero
+
+
+@pytest.mark.parametrize("theta", [0.0, 0.35])
+def test_matches_gather_level0(rng, theta):
+    frames = jnp.asarray(rng.integers(0, 256, (1, 640, 640, 3), dtype=np.uint8))
+    # scales ≤0.95 keep the rotated source AABB inside the level-0
+    # window (span = 111·s·(|cosθ|+|sinθ|)+2 < 158) — exact-path faces
+    Ms = np.stack(
+        [
+            _face_matrix(rng, scale=0.9, theta=theta, tx=250, ty=180),
+            _face_matrix(rng, scale=0.95, theta=-theta, tx=380, ty=300),
+        ]
+    )[None]
+    got = np.asarray(
+        warp_affine_pallas(frames, jnp.asarray(Ms), interpret=True)
+    )
+    ref = np.asarray(warp_affine_batch(frames, jnp.asarray(Ms), 112, 112))
+    assert got.shape == ref.shape
+    diff = np.abs(got - ref)
+    assert np.median(diff) <= 0.5
+    assert diff.max() <= 2.0
+
+
+def test_large_face_mip_path(rng):
+    frames = jnp.asarray(rng.integers(0, 256, (1, 640, 640, 3), dtype=np.uint8))
+    M = _face_matrix(rng, scale=0.2, theta=0.1, tx=60, ty=60)[None, None]
+    got = np.asarray(warp_affine_pallas(frames, jnp.asarray(M), interpret=True))[0, 0]
+    ref = np.asarray(warp_affine_batch(frames, jnp.asarray(M), 112, 112))[0, 0]
+    assert np.isfinite(got).all()
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.9
+
+
+def test_degenerate_matrix_safe():
+    frames = jnp.zeros((1, 640, 640, 3), jnp.uint8)
+    M = jnp.zeros((1, 1, 2, 3), jnp.float32)
+    got = np.asarray(warp_affine_pallas(frames, M, interpret=True))
+    assert np.isfinite(got).all()
