@@ -45,7 +45,9 @@ def _load_models(args):
 
 
 def _cfg(args) -> PipelineConfig:
-    return PipelineConfig(
+    from facerecognizeonnx_tpu.config import auto_config
+
+    return auto_config(
         detector_weights=args.det_model, recognizer_weights=args.rec_model
     )
 

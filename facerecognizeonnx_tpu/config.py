@@ -66,3 +66,17 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+
+def auto_config(**overrides) -> PipelineConfig:
+    """PipelineConfig tuned for the current backend: the Pallas warp
+    kernel on TPU, the portable gather path elsewhere."""
+    import jax
+
+    try:
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+    except RuntimeError:
+        on_tpu = False
+    base = dict(warp_impl="pallas" if on_tpu else "gather")
+    base.update(overrides)
+    return PipelineConfig(**base)
