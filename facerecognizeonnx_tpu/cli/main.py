@@ -253,7 +253,9 @@ def mode_identify(args):
         print("未检测到人脸")
         return
     feats = recognizer.extract_features(image, faces)
-    names, sims = bank.search(feats, top_k=min(5, len(bank)))
+    names, sims = bank.search(
+        feats, top_k=min(5, len(bank)), sharded=args.sharded
+    )
     for i, (face, nrow, srow) in enumerate(zip(faces, names, sims)):
         best = nrow[0] if srow[0] > 0.6 else "Unknown"
         print(
@@ -280,6 +282,11 @@ def main(argv=None):
     parser.add_argument("--det-model", default=None, help=".npz/.onnx detector weights")
     parser.add_argument("--rec-model", default=None, help=".npz/.onnx recognizer weights")
     parser.add_argument("--gallery", default="gallery.npz")
+    parser.add_argument(
+        "--sharded",
+        action="store_true",
+        help="identify: shard the gallery over the device mesh",
+    )
     parser.add_argument("--show", action="store_true", help="open display windows")
     parser.add_argument(
         "--cpu", action="store_true", help="run on host CPU instead of TPU"
