@@ -15,8 +15,6 @@ Reference semantics preserved:
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 
@@ -86,8 +84,8 @@ def detect_program(
 ) -> Detections:
     """Full single-image detect: (H, W, 3) BGR uint8 → Detections.
 
-    Trace-time static over the image shape; wrap in jax.jit per shape
-    bucket (see make_detector)."""
+    Trace-time static over the image shape; FaceDetector wraps it in a
+    jax.jit cache keyed per shape bucket."""
     dtype = jnp.dtype(cfg.compute_dtype) if compute_dtype is None else compute_dtype
     padded, scale = letterbox(image_u8, cfg.det_input_size)
     x = normalize_to_rgb(padded, cfg.pixel_mean, cfg.pixel_scale, dtype=dtype)[None]
@@ -124,19 +122,3 @@ def detect_batch_program(
     return post(scores, boxes, kps)
 
 
-def make_detector(params, cfg: PipelineConfig) -> Callable:
-    """Returns detect(image_u8, score_threshold, nms_threshold) that
-    jit-compiles one program per (image shape, thresholds) bucket."""
-    cache = {}
-
-    def detect(image_u8, score_threshold=None, nms_threshold=None):
-        key = (image_u8.shape, score_threshold, nms_threshold)
-        if key not in cache:
-            cache[key] = jax.jit(
-                lambda img: detect_program(
-                    params, img, cfg, score_threshold, nms_threshold
-                )
-            )
-        return cache[key](image_u8)
-
-    return detect
