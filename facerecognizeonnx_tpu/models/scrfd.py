@@ -65,6 +65,20 @@ SCRFD_VARIANTS = {
         "head": 128,
         "stacked": 4,
     },
+    # TPU-first variant: dense 3x3 convs instead of depthwise-separable.
+    # Depthwise convs are VPU-bound on TPU (the 500m net runs at ~2% of
+    # MXU peak); dense blocks at modest widths land on the MXU and run
+    # FASTER in wall-clock despite ~8x the FLOPs (docs/PERFORMANCE.md).
+    "tpu": {
+        "plan": (
+            (32, 2), (32, 1), (64, 2), (64, 1), (96, 2), (96, 1),
+            (128, 2), (128, 1), (160, 2), (160, 1),
+        ),
+        "neck": 64,
+        "head": 64,
+        "stacked": 2,
+        "dense": True,
+    },
 }
 
 # module-level defaults (500m — the reference's det_500m class)
@@ -97,6 +111,14 @@ def _dw_sep_init(key, cin, cout):
     }
 
 
+def _dense_init(key, cin, cout):
+    return {
+        "conv": L.conv_init(key, 3, 3, cin, cout),
+        "bn": L.bn_init(cout),
+        "prelu": L.prelu_init(cout),
+    }
+
+
 def init_params(key, input_size: int = 640, variant: str = "500m") -> Dict:
     del input_size  # fully convolutional; size only matters at decode
     spec = SCRFD_VARIANTS[variant]
@@ -115,10 +137,15 @@ def init_params(key, input_size: int = 640, variant: str = "500m") -> Dict:
         }
     }
 
+    dense = bool(spec.get("dense"))
     blocks = []
     cin = stem_ch
     for cout, _stride in plan[1:]:
-        blocks.append(_dw_sep_init(next(keys), cin, cout))
+        blocks.append(
+            _dense_init(next(keys), cin, cout)
+            if dense
+            else _dw_sep_init(next(keys), cin, cout)
+        )
         cin = cout
     params["backbone"] = blocks
 
@@ -160,15 +187,19 @@ def init_params(key, input_size: int = 640, variant: str = "500m") -> Dict:
 
 
 def infer_variant(params: Dict) -> str:
-    """Recover the variant from params structure (block count + widths),
-    so apply() needs no side-channel metadata in the pytree."""
+    """Recover the variant from params structure (block count + widths +
+    block type), so apply() needs no side-channel metadata in the pytree."""
     backbone = params["backbone"]
+    is_dense = "conv" in backbone[0]
     for name, spec in SCRFD_VARIANTS.items():
+        if bool(spec.get("dense")) != is_dense:
+            continue
         plan = spec["plan"][1:]
         if len(plan) != len(backbone):
             continue
+        key = "conv" if is_dense else "pw"
         if all(
-            blk["pw"]["w"].shape[-1] == cout
+            blk[key]["w"].shape[-1] == cout
             for (cout, _), blk in zip(plan, backbone)
         ):
             return name
@@ -176,6 +207,12 @@ def infer_variant(params: Dict) -> str:
 
 
 def _dw_sep_apply(p, x, stride, compute_dtype, train, stats, path):
+    if "conv" in p:  # dense (TPU) block
+        y = L.conv2d(p["conv"], x, stride, 1, compute_dtype=compute_dtype)
+        y, s = L.batch_norm(p["bn"], y, train)
+        if train:
+            stats[f"{path}/bn"] = s
+        return L.prelu(p["prelu"], y)
     cin = x.shape[-1]
     y = L.conv2d(p["dw"], x, stride, 1, groups=cin, compute_dtype=compute_dtype)
     y, s = L.batch_norm(p["dw_bn"], y, train)

@@ -51,6 +51,8 @@ def scrfd_forward(params, x_nhwc: np.ndarray):
     )
 
     def dwsep(p, x, stride):
+        if "conv" in p:  # dense (TPU) block
+            return prelu(p["prelu"], bn(p["bn"], conv2d(p["conv"], x, stride, 1)))
         cin = x.shape[1]
         y = conv2d({"w": p["dw"]["w"]}, x, stride, 1, groups=cin)
         y = bn(p["dw_bn"], y)

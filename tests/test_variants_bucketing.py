@@ -10,7 +10,25 @@ from facerecognizeonnx_tpu.models import scrfd
 from facerecognizeonnx_tpu.utils.hostinit import init_on_host
 
 
-@pytest.mark.parametrize("variant", ["500m", "2.5g", "10g"])
+def test_tpu_dense_variant_parity_vs_torch(rng):
+    from tests.oracles.torch_models import scrfd_forward
+    from tests.test_arcface import _floor_bn_var
+    from facerecognizeonnx_tpu.models.layers import update_bn_stats
+
+    params = init_on_host(
+        lambda: scrfd.init_params(jax.random.PRNGKey(2), variant="tpu")
+    )
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+    _, stats = scrfd.apply(params, x, train=True)
+    params = _floor_bn_var(update_bn_stats(params, stats))
+    got = scrfd.apply(params, x)
+    ref = scrfd_forward(params, np.asarray(x))
+    for stride in (8, 16, 32):
+        for g, r in zip(got[stride], ref[stride]):
+            np.testing.assert_allclose(np.asarray(g), r, atol=2e-3)
+
+
+@pytest.mark.parametrize("variant", ["500m", "2.5g", "10g", "tpu"])
 def test_variant_forward_shapes(variant):
     params = init_on_host(
         lambda: scrfd.init_params(jax.random.PRNGKey(0), variant=variant)
