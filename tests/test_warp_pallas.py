@@ -52,6 +52,35 @@ def test_large_face_mip_path(rng):
     assert corr > 0.9
 
 
+def test_mixed_levels_match_banded(rng):
+    """A batch mixing small (level-0) and large (mip-level) faces must
+    agree with the XLA banded implementation face-by-face (same mip +
+    hat-weight semantics)."""
+    from facerecognizeonnx_tpu.ops.warp_banded import warp_affine_banded
+
+    frames = jnp.asarray(rng.integers(0, 256, (2, 640, 640, 3), dtype=np.uint8))
+    Ms = np.stack(
+        [
+            np.stack(
+                [
+                    _face_matrix(rng, scale=0.8, theta=0.1, tx=200, ty=150),
+                    _face_matrix(rng, scale=0.25, theta=-0.2, tx=80, ty=60),
+                ]
+            )
+            for _ in range(2)
+        ]
+    )
+    got = np.asarray(warp_affine_pallas(frames, jnp.asarray(Ms), interpret=True))
+    ref = np.asarray(warp_affine_banded(frames, jnp.asarray(Ms), 112, band=128))
+    # same mip construction; banded uses per-row windows, pallas per-face —
+    # identical sampling up to bf16 weight quantization
+    assert np.isfinite(got).all()
+    for b in range(2):
+        for k in range(2):
+            corr = np.corrcoef(got[b, k].ravel(), ref[b, k].ravel())[0, 1]
+            assert corr > 0.98, (b, k, corr)
+
+
 def test_degenerate_matrix_safe():
     frames = jnp.zeros((1, 640, 640, 3), jnp.uint8)
     M = jnp.zeros((1, 1, 2, 3), jnp.float32)
