@@ -25,7 +25,10 @@ FACES_PER_FRAME = 8
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)  # best measured throughput
+    ap.add_argument(
+        "--batch", type=int, default=None,
+        help="frames per step (default: 32 on TPU — best measured; 2 on CPU)",
+    )
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--json-only", action="store_true")
@@ -62,8 +65,10 @@ def main():
             print(*a, file=sys.stderr)
 
     on_tpu = not args.cpu and jax.devices()[0].platform != "cpu"
+    if args.batch is None:
+        args.batch = 32 if on_tpu else 2
     cfg = PipelineConfig(warp_impl="pallas" if on_tpu else "gather")  # bf16 compute
-    log(f"device: {jax.devices()[0]} warp={cfg.warp_impl}")
+    log(f"device: {jax.devices()[0]} warp={cfg.warp_impl} batch={args.batch}")
 
     if args.config == "gallery":
         return bench_gallery(args, log)

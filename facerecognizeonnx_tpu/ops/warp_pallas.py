@@ -57,7 +57,10 @@ def build_pyramid_cf(frames_u8: jnp.ndarray) -> jnp.ndarray:
     assert H <= PAD_H - ALIGN_Y and W <= PAD_W - ALIGN_X, (H, W)
     base = jnp.transpose(frames_u8, (0, 3, 1, 2)).astype(jnp.float32)
     level = base
-    canvases = []
+    # write each level straight into one bf16 buffer: no per-level f32
+    # canvases, no stack copy, no final cast pass (saves ~200 MB of HBM
+    # traffic per 8-frame batch vs the naive stack-then-cast form)
+    pyr = jnp.zeros((B, NUM_LEVELS, 3, PAD_H, PAD_W), jnp.bfloat16)
     for lvl in range(NUM_LEVELS):
         if lvl:
             level = (
@@ -66,10 +69,12 @@ def build_pyramid_cf(frames_u8: jnp.ndarray) -> jnp.ndarray:
                 )
                 * 0.25
             )
-        canvas = jnp.zeros((B, 3, PAD_H, PAD_W), jnp.float32)
-        canvases.append(lax.dynamic_update_slice(canvas, level, (0, 0, 0, 0)))
-    pyr = jnp.stack(canvases, axis=1)  # (B, 4, 3, PAD_H, PAD_W) f32
-    return jnp.round(pyr).astype(jnp.bfloat16)
+        pyr = lax.dynamic_update_slice(
+            pyr,
+            jnp.round(level).astype(jnp.bfloat16)[:, None],
+            (0, lvl, 0, 0, 0),
+        )
+    return pyr
 
 
 def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem):
