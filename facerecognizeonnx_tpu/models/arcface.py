@@ -82,19 +82,24 @@ def init_params(
 
 
 def _block_apply(p, x, stride, compute_dtype, train, stats_out):
+    # Post-conv BNs (bn2/bn3/down_bn) may be folded into the conv weights
+    # by fold_inference_params(); bn1 is PRE-conv and always present.
     out, s = L.batch_norm(p["bn1"], x, train)
     _collect(stats_out, "bn1", s)
     out = L.conv2d(p["conv1"], out, 1, 1, compute_dtype=compute_dtype)
-    out, s = L.batch_norm(p["bn2"], out, train)
-    _collect(stats_out, "bn2", s)
+    if "bn2" in p:
+        out, s = L.batch_norm(p["bn2"], out, train)
+        _collect(stats_out, "bn2", s)
     out = L.prelu(p["prelu"], out)
     out = L.conv2d(p["conv2"], out, stride, 1, compute_dtype=compute_dtype)
-    out, s = L.batch_norm(p["bn3"], out, train)
-    _collect(stats_out, "bn3", s)
+    if "bn3" in p:
+        out, s = L.batch_norm(p["bn3"], out, train)
+        _collect(stats_out, "bn3", s)
     if "down_conv" in p:
         identity = L.conv2d(p["down_conv"], x, stride, 0, compute_dtype=compute_dtype)
-        identity, s = L.batch_norm(p["down_bn"], identity, train)
-        _collect(stats_out, "down_bn", s)
+        if "down_bn" in p:
+            identity, s = L.batch_norm(p["down_bn"], identity, train)
+            _collect(stats_out, "down_bn", s)
     else:
         identity = x
     return out + identity
@@ -125,7 +130,8 @@ def apply(
         return y
 
     out = L.conv2d(params["conv1"], x, 1, 1, compute_dtype=compute_dtype)
-    out = bn("bn1", params["bn1"], out)
+    if "bn1" in params:  # folded into conv1 by fold_inference_params()
+        out = bn("bn1", params["bn1"], out)
     out = L.prelu(params["prelu1"], out)
 
     for s in (1, 2, 3, 4):
@@ -143,9 +149,45 @@ def apply(
     b_ = out.shape[0]
     out = out.reshape(b_, -1)
     out = L.linear(params["fc"], out, compute_dtype=compute_dtype)
-    out = bn("features_bn", params["features_bn"], out)
+    if "features_bn" in params:  # folded into fc by fold_inference_params()
+        out = bn("features_bn", params["features_bn"], out)
     out = out.astype(jnp.float32)
     return (out, all_stats) if train else out
+
+
+def fold_inference_params(params: Dict) -> Dict:
+    """Inference-only param transform: exactly fold every POST-conv /
+    post-FC BatchNorm into the preceding weights (see
+    layers.fold_bn_into_conv — exact for any padding). PRE-conv BNs
+    (block bn1, the pre-flatten bn2) stay: folding a BN that FEEDS a
+    zero-padded conv changes border pixels, so only the exact half is
+    folded (docs/PERFORMANCE.md round-2 agenda item 3).
+
+    Removes ~½ of the VPU-side BN work per forward. Folded params are
+    NOT trainable — apply(..., train=True) requires unfolded params.
+    """
+    out: Dict = {
+        "conv1": L.fold_bn_into_conv(params["conv1"], params["bn1"]),
+        "prelu1": params["prelu1"],
+        "bn2": params["bn2"],
+        "fc": L.fold_bn_into_linear(params["fc"], params["features_bn"]),
+    }
+    for s in (1, 2, 3, 4):
+        stage = []
+        for block in params[f"layer{s}"]:
+            nb = {
+                "bn1": block["bn1"],
+                "conv1": L.fold_bn_into_conv(block["conv1"], block["bn2"]),
+                "prelu": block["prelu"],
+                "conv2": L.fold_bn_into_conv(block["conv2"], block["bn3"]),
+            }
+            if "down_conv" in block:
+                nb["down_conv"] = L.fold_bn_into_conv(
+                    block["down_conv"], block["down_bn"]
+                )
+            stage.append(nb)
+        out[f"layer{s}"] = stage
+    return out
 
 
 # Stat keys: "bn1", "bn2", "features_bn", "layer{s}/{b}/{bn_name}".

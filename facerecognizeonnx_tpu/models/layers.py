@@ -147,6 +147,31 @@ def update_bn_stats(params, stats, momentum: float = 0.0):
     return params
 
 
+def fold_bn_into_conv(conv, bn, eps: float = BN_EPS):
+    """Exactly fold a POST-conv BatchNorm into the conv weights + bias.
+
+    bn(conv(x)) = conv(x)*inv + (bias - mean*inv) with
+    inv = scale/sqrt(var+eps) — a per-output-channel affine on the conv
+    OUTPUT, so the fold is exact for any stride/padding (unlike pre-conv
+    folds, which break at zero-padded borders). Weights stay float32;
+    the folded conv computes identically up to fp rounding.
+    """
+    inv = (bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)).astype(jnp.float32)
+    w = conv["w"].astype(jnp.float32) * inv  # HWIO: inv broadcasts on O
+    b = conv.get("b", jnp.zeros_like(bn["mean"]))
+    b = (b.astype(jnp.float32) - bn["mean"]) * inv + bn["bias"]
+    return {"w": w, "b": b}
+
+
+def fold_bn_into_linear(lin, bn, eps: float = BN_EPS):
+    """Exactly fold a POST-linear BatchNorm (1-D) into the FC layer."""
+    inv = (bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)).astype(jnp.float32)
+    w = lin["w"].astype(jnp.float32) * inv  # (din, dout): inv on dout
+    b = lin.get("b", jnp.zeros_like(bn["mean"]))
+    b = (b.astype(jnp.float32) - bn["mean"]) * inv + bn["bias"]
+    return {"w": w, "b": b}
+
+
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
     """v / ||v||2, guarded for the zero vector like the reference
     (src/face_recognizer.cpp:306-318: only divide when norm > 0)."""

@@ -207,22 +207,27 @@ def infer_variant(params: Dict) -> str:
 
 
 def _dw_sep_apply(p, x, stride, compute_dtype, train, stats, path):
+    # Every BN here is POST-conv; fold_inference_params() may have folded
+    # them into the conv weights (key absent → already folded).
     if "conv" in p:  # dense (TPU) block
         y = L.conv2d(p["conv"], x, stride, 1, compute_dtype=compute_dtype)
-        y, s = L.batch_norm(p["bn"], y, train)
-        if train:
-            stats[f"{path}/bn"] = s
+        if "bn" in p:
+            y, s = L.batch_norm(p["bn"], y, train)
+            if train:
+                stats[f"{path}/bn"] = s
         return L.prelu(p["prelu"], y)
     cin = x.shape[-1]
     y = L.conv2d(p["dw"], x, stride, 1, groups=cin, compute_dtype=compute_dtype)
-    y, s = L.batch_norm(p["dw_bn"], y, train)
-    if train:
-        stats[f"{path}/dw_bn"] = s
+    if "dw_bn" in p:
+        y, s = L.batch_norm(p["dw_bn"], y, train)
+        if train:
+            stats[f"{path}/dw_bn"] = s
     y = L.prelu(p["dw_prelu"], y)
     y = L.conv2d(p["pw"], y, 1, 0, compute_dtype=compute_dtype)
-    y, s = L.batch_norm(p["pw_bn"], y, train)
-    if train:
-        stats[f"{path}/pw_bn"] = s
+    if "pw_bn" in p:
+        y, s = L.batch_norm(p["pw_bn"], y, train)
+        if train:
+            stats[f"{path}/pw_bn"] = s
     y = L.prelu(p["pw_prelu"], y)
     return y
 
@@ -246,9 +251,10 @@ def apply(
     tap_names = _variant_taps(plan)
     p = params["stem"]
     y = L.conv2d(p["conv"], x, 2, 1, compute_dtype=compute_dtype)
-    y, s = L.batch_norm(p["bn"], y, train)
-    if train:
-        stats["stem/bn"] = s
+    if "bn" in p:  # folded by fold_inference_params()
+        y, s = L.batch_norm(p["bn"], y, train)
+        if train:
+            stats["stem/bn"] = s
     y = L.prelu(p["prelu"], y)
 
     taps = {}
@@ -272,11 +278,12 @@ def apply(
         h = feat
         for ci, cp in enumerate(params["head"]["convs"]):
             h = L.conv2d(cp["conv"], h, 1, 1, compute_dtype=compute_dtype)
-            h, s = L.batch_norm(cp["bn"], h, train)
-            # head weights (and BNs) are shared across strides; calibrate
-            # from the stride-8 map, which has the most samples
-            if train and stride == STRIDES[0]:
-                stats[f"head/convs/{ci}/bn"] = s
+            if "bn" in cp:
+                h, s = L.batch_norm(cp["bn"], h, train)
+                # head weights (and BNs) are shared across strides;
+                # calibrate from stride 8, which has the most samples
+                if train and stride == STRIDES[0]:
+                    stats[f"head/convs/{ci}/bn"] = s
             h = L.prelu(cp["prelu"], h)
         scale = params["scales"][f"s{stride}"]
         cls = L.conv2d(params["head"]["cls"], h, 1, 1, compute_dtype=compute_dtype)
@@ -288,6 +295,44 @@ def apply(
         kps = (kps.astype(jnp.float32) * scale).reshape(b, hh * ww * NUM_ANCHORS, 10)
         outputs[stride] = (scores, bbox, kps)
     return (outputs, stats) if train else outputs
+
+
+def fold_inference_params(params: Dict) -> Dict:
+    """Inference-only: fold EVERY BatchNorm into its preceding conv —
+    all SCRFD BNs are post-conv, so the whole net folds exactly
+    (layers.fold_bn_into_conv). Cuts the VPU-side elementwise work the
+    depthwise backbone is bound by (docs/PERFORMANCE.md). Folded params
+    are not trainable."""
+    out: Dict = {
+        "stem": {
+            "conv": L.fold_bn_into_conv(params["stem"]["conv"], params["stem"]["bn"]),
+            "prelu": params["stem"]["prelu"],
+        },
+        "neck": params["neck"],
+        "scales": params["scales"],
+    }
+    blocks = []
+    for blk in params["backbone"]:
+        if "conv" in blk:  # dense block
+            blocks.append({
+                "conv": L.fold_bn_into_conv(blk["conv"], blk["bn"]),
+                "prelu": blk["prelu"],
+            })
+        else:
+            blocks.append({
+                "dw": L.fold_bn_into_conv(blk["dw"], blk["dw_bn"]),
+                "dw_prelu": blk["dw_prelu"],
+                "pw": L.fold_bn_into_conv(blk["pw"], blk["pw_bn"]),
+                "pw_prelu": blk["pw_prelu"],
+            })
+    out["backbone"] = blocks
+    head = dict(params["head"])
+    head["convs"] = [
+        {"conv": L.fold_bn_into_conv(cp["conv"], cp["bn"]), "prelu": cp["prelu"]}
+        for cp in params["head"]["convs"]
+    ]
+    out["head"] = head
+    return out
 
 
 def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:

@@ -40,23 +40,32 @@ def _load_weights(path: Optional[str], init_fn, seed: int, native_mapper=None):
     For .onnx, a native_mapper (e.g. onnx_import.native_map.map_arcface)
     is tried first: it transplants the weights onto the fast NHWC native
     model and numerically self-verifies; on any mismatch the file runs
-    through the generic graph executor instead."""
+    through the generic graph executor instead.
+
+    Raises ModelLoadError on missing/corrupt weights; the load_model
+    wrappers convert it to the reference's bool-return contract
+    (src/main.cpp:274-283 exits on load failure; here the caller decides).
+    """
+    from facerecognizeonnx_tpu.errors import ModelLoadError
+
     if path is None:
-        return init_on_host(lambda: init_fn(jax.random.PRNGKey(seed))), True
+        return init_on_host(lambda: init_fn(jax.random.PRNGKey(seed)))
     if path.endswith(".onnx"):
         from facerecognizeonnx_tpu.onnx_import import importer
 
-        if native_mapper is not None:
-            mapped = native_mapper(path)
-            if mapped is not None:
-                print("ONNX weights mapped onto the native TPU model")
-                return mapped, True
-        return importer.load_onnx_params(path), True
+        try:
+            if native_mapper is not None:
+                mapped = native_mapper(path)
+                if mapped is not None:
+                    print("ONNX weights mapped onto the native TPU model")
+                    return mapped
+            return importer.load_onnx_params(path)
+        except (OSError, ValueError, NotImplementedError) as e:
+            raise ModelLoadError(f"cannot load ONNX model {path!r}: {e}") from e
     try:
-        return checkpoint.load_params(path), True
+        return checkpoint.load_params(path)
     except (OSError, ValueError) as e:
-        print(f"Error loading model: {e}")
-        return None, False
+        raise ModelLoadError(f"cannot load weights {path!r}: {e}") from e
 
 
 class FaceDetector:
@@ -69,13 +78,25 @@ class FaceDetector:
 
     # reference: bool loadModel(const std::string&) — src/face_detector.h:19
     def load_model(self, model_path: Optional[str] = None) -> bool:
-        params, ok = _load_weights(
-            model_path,
-            lambda key: scrfd.init_params(key, variant=self.cfg.scrfd_variant),
-            self.cfg.seed,
-        )
-        if not ok:
+        from facerecognizeonnx_tpu.errors import ModelLoadError
+
+        try:
+            params = _load_weights(
+                model_path,
+                lambda key: scrfd.init_params(key, variant=self.cfg.scrfd_variant),
+                self.cfg.seed,
+            )
+        except ModelLoadError as e:
+            print(f"Error loading model: {e}")
             return False
+        # inference-only wrapper → exact post-conv BN folding (all SCRFD
+        # BNs are post-conv; see models/scrfd.fold_inference_params)
+        if (
+            isinstance(params, dict)
+            and "backbone" in params
+            and "bn" in params.get("stem", {})
+        ):
+            params = scrfd.fold_inference_params(params)
         self.params = params
         print("Face detector model loaded successfully!")
         print(f"Using input size: {self.cfg.det_input_size}x{self.cfg.det_input_size}")
@@ -160,12 +181,20 @@ class FaceRecognizer:
 
             return map_arcface(path, input_size=self.cfg.rec_input_size)
 
-        params, ok = _load_weights(
-            model_path, arcface.init_params, self.cfg.seed + 1,
-            native_mapper=_map_native,
-        )
-        if not ok:
+        from facerecognizeonnx_tpu.errors import ModelLoadError
+
+        try:
+            params = _load_weights(
+                model_path, arcface.init_params, self.cfg.seed + 1,
+                native_mapper=_map_native,
+            )
+        except ModelLoadError as e:
+            print(f"Error loading model: {e}")
             return False
+        # exact fold of the post-conv/post-FC half of the BNs (inference
+        # wrapper never trains; see models/arcface.fold_inference_params)
+        if isinstance(params, dict) and "features_bn" in params:
+            params = arcface.fold_inference_params(params)
         self.params = params
         print("Face recognizer model loaded successfully!")
         print(f"Using input size: {self.cfg.rec_input_size}x{self.cfg.rec_input_size}")

@@ -118,3 +118,34 @@ def test_train_mode_returns_batch_stats(r18_params, rng):
     assert "bn1" in stats and "features_bn" in stats
     mean, var = stats["bn1"]
     assert mean.shape == (64,) and var.shape == (64,)
+
+
+def test_bn_fold_parity(r18_params, rng):
+    """fold_inference_params is EXACT: post-conv/post-FC BN folding must
+    reproduce the unfolded forward bit-near (f32 matmul precision pinned:
+    this CPU's default conv path is bf16-class AMX)."""
+    params = _calibrated(r18_params, rng)
+    folded = arcface.fold_inference_params(params)
+    # folded pytree must have no bn2/bn3/down_bn/features_bn left
+    flat = jax.tree_util.tree_flatten_with_path(folded)[0]
+    paths = {"/".join(str(p) for p in path) for path, _ in flat}
+    assert not any("bn2']" in p and "layer" in p for p in paths)
+    assert not any("features_bn" in p for p in paths)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 112, 112, 3)).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        y0 = np.asarray(arcface.apply(params, x))
+        y1 = np.asarray(arcface.apply(folded, x))
+    scale = np.abs(y0).max()
+    assert np.abs(y0 - y1).max() < 1e-4 * max(scale, 1.0)
+
+
+def test_bn_fold_bf16_embedding_direction(r18_params, rng):
+    """Folded params under bf16 MXU compute keep the embedding direction
+    (the quantity compareFaces consumes)."""
+    params = _calibrated(r18_params, rng)
+    folded = arcface.fold_inference_params(params)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 112, 112, 3)).astype(np.float32))
+    a = np.asarray(arcface.apply(params, x, compute_dtype=jnp.bfloat16))
+    b = np.asarray(arcface.apply(folded, x, compute_dtype=jnp.bfloat16))
+    an, bn_ = (v / np.linalg.norm(v) for v in (a, b))
+    assert (an * bn_).sum() > 1 - 1e-3

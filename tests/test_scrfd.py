@@ -150,3 +150,19 @@ def test_detect_program_runs_end_to_end(det_params_cal, rng):
     # determinism: same frame → identical detections
     det2 = fn(jnp.asarray(img))
     np.testing.assert_array_equal(np.asarray(det2.boxes), np.asarray(det.boxes))
+
+
+def test_bn_fold_parity(det_params_cal, rng):
+    """SCRFD BNs are ALL post-conv → the entire net folds exactly
+    (models/scrfd.fold_inference_params)."""
+    folded = scrfd.fold_inference_params(det_params_cal)
+    assert scrfd.infer_variant(folded) == "500m"
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        o0 = scrfd.apply(det_params_cal, x)
+        o1 = scrfd.apply(folded, x)
+    for s in o0:
+        for a, b in zip(o0[s], o1[s]):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1.0)
+            assert np.abs(a - b).max() < 1e-4 * scale, f"stride {s}"
