@@ -42,8 +42,8 @@ COVER = 158.0
 ALIGN_Y, ALIGN_X = 16, 128
 PAD_H, PAD_W = 656, 768  # canvas padding so aligned windows always fit
 OUT = 112
-ROWS_PER_CHUNK = 28
-CHUNKS = OUT // ROWS_PER_CHUNK  # 4
+ROWS_PER_CHUNK = 16
+CHUNKS = OUT // ROWS_PER_CHUNK  # 7
 COLS_PAD = 128  # lane-aligned column count; cols 112..127 are padding
 PIX = ROWS_PER_CHUNK * COLS_PAD  # 3584 flat (row, padded-col) pixels/chunk
 
@@ -78,22 +78,37 @@ def build_pyramid_cf(frames_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem):
-    f = pl.program_id(0)
-    chunk = pl.program_id(1)
+    """grid = (N,): one step per face.
 
-    @pl.when(chunk == 0)
-    def _fetch():
-        b = iparams_ref[f, 0]
-        lvl = iparams_ref[f, 1]
-        y_lo = pl.multiple_of(iparams_ref[f, 2], ALIGN_Y)
-        x_lo = pl.multiple_of(iparams_ref[f, 3], ALIGN_X)
-        dma = pltpu.make_async_copy(
+    DMA is double-buffered ACROSS faces: face f's compute overlaps face
+    f+1's window fetch (win_scr has 2 slots; semaphores persist across
+    grid steps). The 4 row-chunks run unrolled inside one step — v1 used
+    a (N, 4) grid and paid fixed per-step overhead 256 times instead of
+    64 (docs/PERFORMANCE.md round-2 agenda item 2)."""
+    f = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = lax.rem(f, 2)
+
+    def copy_for(face, slot_):
+        b = iparams_ref[face, 0]
+        lvl = iparams_ref[face, 1]
+        y_lo = pl.multiple_of(iparams_ref[face, 2], ALIGN_Y)
+        x_lo = pl.multiple_of(iparams_ref[face, 3], ALIGN_X)
+        return pltpu.make_async_copy(
             pyr_ref.at[b, lvl, :, pl.ds(y_lo, WIN_Y), pl.ds(x_lo, WIN_X)],
-            win_scr,
-            sem,
+            win_scr.at[slot_],
+            sem.at[slot_],
         )
-        dma.start()
-        dma.wait()
+
+    @pl.when(f == 0)
+    def _first_fetch():
+        copy_for(0, 0).start()
+
+    @pl.when(f + 1 < n)
+    def _prefetch_next():
+        copy_for(f + 1, lax.rem(f + 1, 2)).start()
+
+    copy_for(f, slot).wait()
 
     af = fparams_ref[f, 0]
     bf_ = fparams_ref[f, 1]
@@ -102,25 +117,32 @@ def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem):
     tx_loc = fparams_ref[f, 4]
     ty_loc = fparams_ref[f, 5]
 
-    i0 = (chunk * ROWS_PER_CHUNK).astype(jnp.int32)
-    z = lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    jj = (z & (COLS_PAD - 1)).astype(jnp.float32)  # z % 128
-    ii = ((z >> 7) + i0).astype(jnp.float32)  # z // 128 + row offset
-    lx = af * jj + bf_ * ii + tx_loc  # (PIX, 1)
-    ly = cf * jj + df * ii + ty_loc
-    lx = jnp.clip(lx, -2.0, WIN_X + 1.0)
-    ly = jnp.clip(ly, -2.0, WIN_Y + 1.0)
-
     ry = lax.broadcasted_iota(jnp.int32, (1, WIN_Y), 1).astype(jnp.float32)
     rx = lax.broadcasted_iota(jnp.int32, (1, WIN_X), 1).astype(jnp.float32)
-    yw = jnp.maximum(0.0, 1.0 - jnp.abs(ly - ry)).astype(jnp.bfloat16)
-    xw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - rx)).astype(jnp.float32)
+    z = lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    jj = (z & (COLS_PAD - 1)).astype(jnp.float32)  # z % 128
 
-    for c in range(3):
-        win_c = win_scr[c]  # (WIN_Y, WIN_X) bf16
-        t = jnp.dot(yw, win_c, preferred_element_type=jnp.float32)  # (PIX, WIN)
-        out_ref[0, c, :] = jnp.sum(t * xw, axis=1)
-    out_ref[0, 3, :] = jnp.zeros((PIX,), jnp.float32)
+    # fori_loop (not Python unroll): ONE live set of (yw, t, xw) temps —
+    # unrolling overlapped two chunks' temps and blew the 16 MB scoped
+    # VMEM stack at batch 32 (v5e compile error).
+    def chunk_body(chunk, _):
+        i0 = chunk * ROWS_PER_CHUNK
+        ii = ((z >> 7) + i0).astype(jnp.float32)  # z // 128 + row offset
+        lx = af * jj + bf_ * ii + tx_loc  # (PIX, 1)
+        ly = cf * jj + df * ii + ty_loc
+        lx = jnp.clip(lx, -2.0, WIN_X + 1.0)
+        ly = jnp.clip(ly, -2.0, WIN_Y + 1.0)
+        yw = jnp.maximum(0.0, 1.0 - jnp.abs(ly - ry)).astype(jnp.bfloat16)
+        xw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - rx)).astype(jnp.float32)
+
+        for c in range(3):
+            win_c = win_scr[slot, c]  # (WIN_Y, WIN_X) bf16
+            t = jnp.dot(yw, win_c, preferred_element_type=jnp.float32)
+            out_ref[0, c, pl.ds(chunk * PIX, PIX)] = jnp.sum(t * xw, axis=1)
+        return 0
+
+    lax.fori_loop(0, CHUNKS, chunk_body, 0)
+    out_ref[0, 3, :] = jnp.zeros((CHUNKS * PIX,), jnp.float32)
 
 
 def warp_affine_pallas(
@@ -204,14 +226,14 @@ def warp_affine_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(N, CHUNKS),
+        grid=(N,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 4, PIX), lambda f, ch, *_: (f, 0, ch), memory_space=pltpu.VMEM
+            (1, 4, CHUNKS * PIX), lambda f, *_: (f, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, WIN_Y, WIN_X), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 3, WIN_Y, WIN_X), jnp.bfloat16),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
