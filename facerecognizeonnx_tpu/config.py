@@ -27,6 +27,10 @@ class PipelineConfig:
     # Static-shape bounds: pre-NMS top-K candidates and max faces returned.
     pre_nms_topk: int = 512
     max_faces: int = 128
+    # IoU on integer-truncated rects like the reference
+    # (src/face_detector.cpp:260-265,340-354) — survivors then match the
+    # reference bit-exactly. False = full float IoU (more accurate).
+    nms_int_rects: bool = True
 
     # --- recognizer (reference: src/face_recognizer.cpp:8-10)
     rec_input_size: int = 112

