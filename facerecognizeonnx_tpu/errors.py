@@ -24,7 +24,7 @@ class InvalidInputError(FrtError, ValueError):
     """Image/feature input fails shape or dtype validation."""
 
 
-class GalleryError(FrtError):
+class GalleryError(FrtError, ValueError):
     """Gallery bank misuse (dim mismatch, missing file)."""
 
 

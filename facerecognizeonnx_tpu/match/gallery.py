@@ -16,6 +16,8 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
+from facerecognizeonnx_tpu.errors import GalleryError
+
 
 def _on_tpu() -> bool:
     import jax
@@ -46,7 +48,7 @@ class GalleryBank:
     def add(self, name: str, feature: np.ndarray) -> None:
         feat = np.asarray(feature, np.float32).reshape(1, -1)
         if feat.shape[1] != self.feature_dim:
-            raise ValueError(
+            raise GalleryError(
                 f"feature dim {feat.shape[1]} != bank dim {self.feature_dim}"
             )
         norm = np.linalg.norm(feat)
@@ -81,6 +83,13 @@ class GalleryBank:
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
+        if queries.ndim != 2 or queries.shape[1] != self.feature_dim:
+            from facerecognizeonnx_tpu.errors import InvalidInputError
+
+            raise InvalidInputError(
+                f"query shape {queries.shape} incompatible with "
+                f"{self.feature_dim}-d gallery"
+            )
         if len(self) == 0:
             return [[] for _ in range(len(queries))], np.zeros((len(queries), 0))
         top_k = min(top_k, len(self))
@@ -135,7 +144,7 @@ class GalleryBank:
     @classmethod
     def load(cls, path: str) -> "GalleryBank":
         if not os.path.exists(path):
-            raise FileNotFoundError(path)
+            raise GalleryError(f"gallery file not found: {path}")
         with np.load(path, allow_pickle=False) as data:
             bank = cls(feature_dim=int(data["feature_dim"]))
             bank._feats = np.asarray(data["features"], np.float32)

@@ -62,7 +62,9 @@ class Executor:
         for node in self.graph.nodes:
             fn = getattr(self, f"op_{node.op_type.lower()}", None)
             if fn is None:
-                raise NotImplementedError(
+                from facerecognizeonnx_tpu.errors import UnsupportedOnnxOp
+
+                raise UnsupportedOnnxOp(
                     f"ONNX op {node.op_type!r} (node {node.name!r}) not supported"
                 )
             args = [values[i] if i else None for i in node.inputs]

@@ -15,6 +15,8 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+from facerecognizeonnx_tpu.errors import NativeRuntimeUnavailable
+
 _CC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "cc")
 _SO_PATH = os.path.join(_CC_DIR, "libfrt_runtime.so")
 
@@ -84,7 +86,7 @@ def letterbox_native(image_bgr: np.ndarray, target: int):
     Returns (padded (target,target,3) uint8, scale)."""
     lib = _load()
     if lib is None:
-        raise RuntimeError("native runtime unavailable")
+        raise NativeRuntimeUnavailable("libfrt_runtime.so not built/loaded")
     img = np.ascontiguousarray(image_bgr, np.uint8)
     h, w = img.shape[:2]
     out = np.empty((target, target, 3), np.uint8)
@@ -102,7 +104,7 @@ def nms_native(
     reference's integer-rect IoU exactly (src/face_detector.cpp:340-354)."""
     lib = _load()
     if lib is None:
-        raise RuntimeError("native runtime unavailable")
+        raise NativeRuntimeUnavailable("libfrt_runtime.so not built/loaded")
     b = np.ascontiguousarray(boxes, np.float32)
     s = np.ascontiguousarray(scores, np.float32)
     n = len(s)
@@ -120,7 +122,7 @@ class FrameRing:
     def __init__(self, capacity: int, frame_shape):
         lib = _load()
         if lib is None:
-            raise RuntimeError("native runtime unavailable")
+            raise NativeRuntimeUnavailable("libfrt_runtime.so not built/loaded")
         self._lib = lib
         self.frame_shape = tuple(frame_shape)
         self._bytes = int(np.prod(frame_shape))
