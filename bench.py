@@ -8,7 +8,14 @@ one XLA program, K=8 faces embedded per frame (all K slots are computed
 whether or not a real face occupies them, so the number is honest about
 the full align+embed cost).
 
+By default ALL FOUR BASELINE.json configs run (headline, enroll,
+gallery, video) and land in the single JSON line's detail.configs;
+latency percentiles are TRUE percentiles over ≥20 per-step wall-time
+samples with a host fetch per step (VERDICT r1 item 7 — r1 reported a
+mean under a p50 name).
+
 Usage: python bench.py [--batch B] [--iters N] [--cpu] [--json-only]
+                       [--config headline|enroll|gallery|video|all]
 """
 
 import argparse
@@ -23,6 +30,18 @@ TARGET_FACES_PER_SEC = 5000.0  # BASELINE.md build target
 FACES_PER_FRAME = 8
 
 
+def _percentiles(samples_s):
+    import numpy as np
+
+    ms = np.asarray(samples_s) * 1000.0
+    return {
+        "samples": len(ms),
+        "p50_ms": round(float(np.percentile(ms, 50)), 2),
+        "p90_ms": round(float(np.percentile(ms, 90)), 2),
+        "p99_ms": round(float(np.percentile(ms, 99)), 2),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -34,10 +53,10 @@ def main():
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument(
         "--config",
-        default="headline",
-        choices=["headline", "enroll", "gallery", "video"],
-        help="headline = detect+align+embed faces/sec (the driver metric); "
-        "others cover the remaining BASELINE.json configs",
+        default="all",
+        choices=["headline", "enroll", "gallery", "video", "all"],
+        help="BASELINE.json config to run; 'all' (default) runs the four "
+        "configs and reports headline as the top-level metric",
     )
     args = ap.parse_args()
 
@@ -57,7 +76,6 @@ def main():
 
     from facerecognizeonnx_tpu.config import PipelineConfig
     from facerecognizeonnx_tpu.models import arcface, scrfd
-    from facerecognizeonnx_tpu.pipeline.fused import frames_to_features
     from facerecognizeonnx_tpu.utils.hostinit import init_on_host
 
     def log(*a):
@@ -70,18 +88,50 @@ def main():
     cfg = PipelineConfig(warp_impl="pallas" if on_tpu else "gather")  # bf16 compute
     log(f"device: {jax.devices()[0]} warp={cfg.warp_impl} batch={args.batch}")
 
-    if args.config == "gallery":
-        return bench_gallery(args, log)
-
     t0 = time.time()
-    det_params = init_on_host(lambda: scrfd.init_params(jax.random.PRNGKey(0)))
-    arc_params = init_on_host(lambda: arcface.init_params(jax.random.PRNGKey(1)))
+    det_params = init_on_host(
+        lambda: scrfd.fold_inference_params(scrfd.init_params(jax.random.PRNGKey(0)))
+    )
+    arc_params = init_on_host(
+        lambda: arcface.fold_inference_params(arcface.init_params(jax.random.PRNGKey(1)))
+    )
     log(f"init {time.time() - t0:.1f}s")
 
-    if args.config == "enroll":
-        return bench_enroll(args, cfg, arc_params, log)
-    if args.config == "video":
-        return bench_video(args, cfg, det_params, arc_params, log)
+    runners = {
+        "headline": lambda: bench_headline(args, cfg, det_params, arc_params, log),
+        "enroll": lambda: bench_enroll(args, cfg, arc_params, log),
+        "gallery": lambda: bench_gallery(args, log),
+        "video": lambda: bench_video(args, cfg, det_params, arc_params, log),
+    }
+    if args.config != "all":
+        print(json.dumps(runners[args.config]()))
+        return
+
+    results = {}
+    for name in ("headline", "enroll", "gallery", "video"):
+        t0 = time.time()
+        try:
+            results[name] = runners[name]()
+        except Exception as e:  # one config must not sink the whole bench
+            log(f"{name} FAILED: {e}")
+            results[name] = {"error": str(e)[:300]}
+        log(f"{name} done in {time.time() - t0:.1f}s")
+
+    head = results["headline"]
+    out = dict(head)
+    out["detail"] = dict(head.get("detail", {}))
+    out["detail"]["configs"] = {
+        k: v for k, v in results.items() if k != "headline"
+    }
+    print(json.dumps(out))
+
+
+def bench_headline(args, cfg, det_params, arc_params, log):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from facerecognizeonnx_tpu.pipeline.fused import frames_to_features
 
     @jax.jit
     def step(frames):
@@ -118,22 +168,31 @@ def main():
     float(jnp.sum(feats))  # host fetch = true sync
     dt = time.time() - t0
 
+    # latency: per-step wall times with a host fetch per step (true
+    # percentiles; includes the tunnel round-trip, so it upper-bounds
+    # on-device step latency)
+    samples = []
+    for _ in range(max(20, args.iters)):
+        t1 = time.time()
+        feats, frames = step(frames)
+        float(jnp.sum(feats))
+        samples.append(time.time() - t1)
+
     frames_per_sec = args.batch * args.iters / dt
     faces_per_sec = frames_per_sec * FACES_PER_FRAME
-    result = {
+    return {
         "metric": "faces/sec/chip end-to-end (detect+align+embed)",
         "value": round(faces_per_sec, 1),
         "unit": "faces/sec",
         "vs_baseline": round(faces_per_sec / TARGET_FACES_PER_SEC, 3),
         "detail": {
             "frames_per_sec": round(frames_per_sec, 1),
-            "p50_frame_latency_ms": round(1000.0 * dt / args.iters, 2),
             "batch": args.batch,
             "faces_per_frame": FACES_PER_FRAME,
+            "batch_step_latency": _percentiles(samples),
             "device": str(jax.devices()[0]),
         },
     }
-    print(json.dumps(result))
 
 
 def bench_enroll(args, cfg, arc_params, log):
@@ -152,7 +211,7 @@ def bench_enroll(args, cfg, arc_params, log):
     def fn(c):
         feats = embed_crops(arc_params, c, cfg)
         bump = (jnp.abs(jnp.sum(feats)) * 0.0 + 1.0).astype(jnp.uint8)
-        return feats, c + bump  # chained input + fetch-sync (see main)
+        return feats, c + bump  # chained input + fetch-sync (see headline)
 
     feats, crops = fn(crops)
     float(jnp.sum(feats))
@@ -163,12 +222,12 @@ def bench_enroll(args, cfg, arc_params, log):
     float(jnp.sum(feats))
     dt = time.time() - t0
     rate = batch * iters / dt
-    print(json.dumps({
+    return {
         "metric": "batched enrollment embed throughput",
         "value": round(rate, 1), "unit": "faces/sec",
         "vs_baseline": round(rate / TARGET_FACES_PER_SEC, 3),
         "detail": {"batch": batch, "gallery_256_seconds": round(256 / rate, 3)},
-    }))
+    }
 
 
 def bench_gallery(args, log):
@@ -204,12 +263,12 @@ def bench_gallery(args, log):
         except Exception as e:  # pallas may be unsupported on cpu backend
             log(f"{name} failed: {e}")
     best = max(results.values()) if results else 0.0
-    print(json.dumps({
+    return {
         "metric": "1:N identification, 100k gallery top-5",
         "value": round(best, 1), "unit": "queries/sec",
         "vs_baseline": 0.0,
         "detail": {k: round(v, 1) for k, v in results.items()},
-    }))
+    }
 
 
 def bench_video(args, cfg, det_params, arc_params, log):
@@ -236,13 +295,13 @@ def bench_video(args, cfg, det_params, arc_params, log):
         n += 1
     stats = pipe.stats()
     fps = stats["frames_per_sec"]
-    print(json.dumps({
+    return {
         "metric": "1080p video stream detect+verify",
         "value": round(fps, 1), "unit": "frames/sec",
         "vs_baseline": round(fps * FACES_PER_FRAME / TARGET_FACES_PER_SEC, 3),
         "detail": {"frames": n, "p50_ms": round(stats["p50_ms"], 2),
                    "p99_ms": round(stats["p99_ms"], 2)},
-    }))
+    }
 
 
 if __name__ == "__main__":
