@@ -220,7 +220,17 @@ class Executor:
         return self._binop(args, np.multiply, jnp.multiply)
 
     def op_div(self, node, args):
-        return self._binop(args, np.divide, jnp.divide)
+        # ONNX Div is integer division on integer tensors (shape math in
+        # torch-export glue chains: Shape→Gather→Div→Concat→Reshape).
+        a, b = args
+        if _is_static(a, b):
+            an, bn = _np(a), _np(b)
+            if np.issubdtype(an.dtype, np.integer) and np.issubdtype(
+                bn.dtype, np.integer
+            ):
+                return an // bn
+            return np.divide(an, bn)
+        return jnp.divide(jnp.asarray(a), jnp.asarray(b))
 
     def op_pow(self, node, args):
         return self._binop(args, np.power, jnp.power)
@@ -277,8 +287,10 @@ class Executor:
         axes = _attr(node, "axes")
         if axes is None and len(args) > 1 and args[1] is not None:
             axes = _np(args[1]).tolist()
-        x = jnp.asarray(args[0])
-        return jnp.squeeze(x, axis=tuple(int(a) for a in axes) if axes else None)
+        ax = tuple(int(a) for a in axes) if axes else None
+        if _is_static(args[0]):  # keep shape-math subgraphs in numpy
+            return np.squeeze(_np(args[0]), axis=ax)
+        return jnp.squeeze(jnp.asarray(args[0]), axis=ax)
 
     def op_concat(self, node, args):
         axis = int(_attr(node, "axis", 0))

@@ -1,0 +1,142 @@
+"""Real-model ONNX path parity (VERDICT r1 item 3).
+
+Proves the C21 claim on graphs SHAPED LIKE the real buffalo_sc exports,
+not like the repo's own native models:
+
+  det_500m-shaped: NAS residual depthwise backbone, group Convs,
+    Transpose→Shape→Gather→Div→Unsqueeze→Concat→Reshape glue chains,
+    batch-folded 2-D outputs, 9 outputs in scrambled order
+    (tests/oracles/scrfd_nas_onnx.py) → OnnxRunner → detect_program →
+    NMS, checked against an INDEPENDENT torch forward of the same
+    weights (reference src/face_detector.cpp:179-207 drives the real
+    file the same way).
+
+  w600k_r50-shaped: torch-export IResNet (tests/oracles/iresnet_onnx.py)
+    through the generic EXECUTOR (not the native mapper, which
+    test_native_map.py covers) at 1e-3 cosine
+    (reference src/face_recognizer.cpp:279-283).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from facerecognizeonnx_tpu.config import PipelineConfig
+from facerecognizeonnx_tpu.detect.pipeline import detect_program
+from facerecognizeonnx_tpu.onnx_import.importer import OnnxRunner
+from tests.oracles import scrfd_nas_onnx as S
+
+SIZE = 192  # strides 8/16/32 → 24/12/6 sides; decode logic is size-agnostic
+CFG = PipelineConfig(
+    det_input_size=SIZE, compute_dtype="float32", pre_nms_topk=256
+)
+
+
+@pytest.fixture(scope="module")
+def det_onnx(tmp_path_factory):
+    w = S.make_weights(seed=3)
+    blob, out_names = S.emit_scrfd_nas_onnx(w, SIZE)
+    path = tmp_path_factory.mktemp("onnx") / "det_500m_shaped.onnx"
+    path.write_bytes(blob)
+    return w, str(path), out_names
+
+
+def test_runner_classifies_scrambled_2d_outputs(det_onnx, rng):
+    w, path, _ = det_onnx
+    runner = OnnxRunner(path)
+    assert runner.kind == "scrfd" and runner.input_size == SIZE
+
+    x_nhwc = rng.uniform(-1, 1, (1, SIZE, SIZE, 3)).astype(np.float32)
+    got = runner.apply(jnp.asarray(x_nhwc))
+    want = S.torch_forward(w, np.transpose(x_nhwc, (0, 3, 1, 2)))
+    assert set(got) == {8, 16, 32}
+    for s in (8, 16, 32):
+        for gi, wi, name in zip(got[s], want[s], ("scores", "bbox", "kps")):
+            gi = np.asarray(gi)
+            assert gi.shape == (1,) + wi.shape  # batch un-folded by runner
+            np.testing.assert_allclose(
+                gi[0], wi, atol=2e-4, rtol=1e-3,
+                err_msg=f"stride {s} {name}",
+            )
+
+
+def test_detect_program_runs_the_glue_graph_end_to_end(det_onnx, rng):
+    """Full device path on the export-shaped graph: executor → decode →
+    NMS → Detections, equal to the same decode+NMS fed by the torch
+    oracle (isolates the executor as the only difference)."""
+    from facerecognizeonnx_tpu.ops.image import letterbox, normalize_to_rgb
+
+    w, path, _ = det_onnx
+    runner = OnnxRunner(path)
+    image = rng.integers(0, 256, (150, SIZE, 3), dtype=np.uint8)
+
+    got = detect_program(runner, jnp.asarray(image), CFG)
+
+    padded, scale = letterbox(jnp.asarray(image), SIZE)
+    x = normalize_to_rgb(padded, CFG.pixel_mean, CFG.pixel_scale,
+                         dtype=jnp.float32)[None]
+    torch_outs = S.torch_forward(w, np.transpose(np.asarray(x), (0, 3, 1, 2)))
+
+    class _Stub:
+        def apply(self, x_ignored, dtype):
+            return {
+                s: tuple(jnp.asarray(t)[None] for t in torch_outs[s])
+                for s in torch_outs
+            }
+
+    want = detect_program(_Stub(), jnp.asarray(image), CFG)
+
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    n = int(np.asarray(got.valid).sum())
+    np.testing.assert_allclose(
+        np.asarray(got.boxes)[:n], np.asarray(want.boxes)[:n], atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores)[:n], np.asarray(want.scores)[:n], atol=2e-4
+    )
+    assert np.asarray(got.kps).shape == (CFG.max_faces, 5, 2)
+
+
+def test_api_detector_loads_glue_graph(det_onnx, rng):
+    """FaceDetector drives the export-shaped file like the reference's
+    loadModel + detect (src/main.cpp:274, src/face_detector.cpp:20-90)."""
+    from facerecognizeonnx_tpu.pipeline.api import FaceDetector
+
+    _, path, _ = det_onnx
+    det = FaceDetector(CFG)
+    assert det.load_model(path) is True
+    faces = det.detect(rng.integers(0, 256, (150, SIZE, 3), dtype=np.uint8))
+    for f in faces:
+        assert len(f.landmarks) == 5 and 0.0 <= f.score <= 1.0
+
+
+def test_w600k_shaped_export_through_executor(rng):
+    """IResNet torch-shaped export through the generic EXECUTOR fallback
+    (no native mapping) at 1e-3 cosine vs the native model."""
+    from facerecognizeonnx_tpu.models import arcface
+    from facerecognizeonnx_tpu.models.layers import l2_normalize
+    from tests.oracles.iresnet_onnx import emit_iresnet_onnx
+    from tests.test_arcface import _floor_bn_var
+
+    import tempfile, os
+
+    params = arcface.init_params(
+        jax.random.PRNGKey(5), arch="iresnet18", input_size=64
+    )
+    x_cal = jnp.asarray(rng.uniform(-1, 1, (4, 64, 64, 3)).astype(np.float32))
+    _, stats = arcface.apply(params, x_cal, train=True)
+    params = _floor_bn_var(arcface.update_bn_stats(params, stats))
+    blob = emit_iresnet_onnx(params, "iresnet18", input_size=64)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "w600k_shaped.onnx")
+        with open(path, "wb") as f:
+            f.write(blob)
+        runner = OnnxRunner(path, kind="arcface")
+        x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+        got = np.asarray(runner.apply(jnp.asarray(x)))
+        want = np.asarray(arcface.apply(params, jnp.asarray(x)))
+    gn = np.asarray(l2_normalize(jnp.asarray(got)))
+    wn = np.asarray(l2_normalize(jnp.asarray(want)))
+    cos = (gn * wn).sum(axis=1)
+    assert (cos > 1 - 1e-3).all(), cos
