@@ -36,9 +36,20 @@ NUM_LEVELS = 4
 # DMA starts must be tile-aligned (sublane 16 for bf16, lane 128), so the
 # window is oversized to keep ≥COVER px of guaranteed coverage after
 # flooring the start to alignment.
-WIN_Y = 176  # 16-aligned start + 158 coverage (slice len ÷16)
-WIN_X = 384  # 128-aligned start + 158 coverage (slice len ÷128)
-COVER = 158.0
+#
+# Window sizing is a quality/FLOP knob: the hat-weight matmul contracts
+# over WIN_Y and its product dim is WIN_X, so (128, 256) halves the
+# kernel FLOPs vs the original (176, 384) AND packs the MXU K-dim
+# perfectly (K=128). COVER drops 158→110: faces with source span in
+# (110, 158] now sample pyramid level 1 — for minification >1.4x the
+# box-mip + bilinear pair is an ANTI-ALIASED resample (better than
+# cv2's aliasing direct bilinear), so this trades exact-parity range
+# for speed without an accuracy loss in embeddings.
+# Coverage proof: x_min - x_lo ≤ 127 and span+2 ≤ 112 ≤ 256-127;
+#                 y_min - y_lo ≤ 15 and span+2 ≤ 112 ≤ 128-15.
+WIN_Y = 128  # 16-aligned start + 110 coverage (slice len ÷16)
+WIN_X = 256  # 128-aligned start + 110 coverage (slice len ÷128)
+COVER = 110.0
 ALIGN_Y, ALIGN_X = 16, 128
 PAD_H, PAD_W = 656, 768  # canvas padding so aligned windows always fit
 OUT = 112

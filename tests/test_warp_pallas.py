@@ -24,12 +24,13 @@ def test_pyramid_cf_layout(rng):
 @pytest.mark.parametrize("theta", [0.0, 0.35])
 def test_matches_gather_level0(rng, theta):
     frames = jnp.asarray(rng.integers(0, 256, (1, 640, 640, 3), dtype=np.uint8))
-    # scales ≤0.95 keep the rotated source AABB inside the level-0
-    # window (span = 111·s·(|cosθ|+|sinθ|)+2 < 158) — exact-path faces
+    # scales ≤0.7 keep the rotated source AABB inside the level-0
+    # window (span = 111·s·(|cosθ|+|sinθ|)+2 < COVER=110) — exact-path
+    # faces; larger faces anti-alias through the mip levels
     Ms = np.stack(
         [
-            _face_matrix(rng, scale=0.9, theta=theta, tx=250, ty=180),
-            _face_matrix(rng, scale=0.95, theta=-theta, tx=380, ty=300),
+            _face_matrix(rng, scale=0.6, theta=theta, tx=250, ty=180),
+            _face_matrix(rng, scale=0.7, theta=-theta, tx=380, ty=300),
         ]
     )[None]
     got = np.asarray(
