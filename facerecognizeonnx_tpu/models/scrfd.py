@@ -79,6 +79,22 @@ SCRFD_VARIANTS = {
         "stacked": 2,
         "dense": True,
     },
+    # TPU-first 500m-class variant with a stride-4 space-to-depth stem:
+    # the input is rearranged (B, S, S, 3) → (B, S/4, S/4, 48) before the
+    # first conv, skipping the S/2-resolution stage entirely — the
+    # highest-resolution depthwise blocks are pure VPU overhead on TPU
+    # (docs/PERFORMANCE.md round-2 agenda item 1). Same stride-8/16/32
+    # taps, widths, neck, and head as "500m".
+    "500m_s2d": {
+        "plan": (
+            (40, 4), (40, 1), (72, 2), (72, 1),
+            (152, 2), (152, 1), (288, 2), (288, 1),
+        ),
+        "neck": 64,
+        "head": 64,
+        "stacked": 2,
+        "s2d": 4,
+    },
 }
 
 # module-level defaults (500m — the reference's det_500m class)
@@ -129,9 +145,11 @@ def init_params(key, input_size: int = 640, variant: str = "500m") -> Dict:
     n_keys = 1 + len(plan) + 6 + 2 * stacked + 3
     keys = iter(jax.random.split(key, n_keys))
 
+    s2d = int(spec.get("s2d", 0))
+    stem_cin = 3 * s2d * s2d if s2d else 3
     params: Dict = {
         "stem": {
-            "conv": L.conv_init(next(keys), 3, 3, 3, stem_ch),
+            "conv": L.conv_init(next(keys), 3, 3, stem_cin, stem_ch),
             "bn": L.bn_init(stem_ch),
             "prelu": L.prelu_init(stem_ch),
         }
@@ -247,10 +265,16 @@ def apply(
     x = x.astype(compute_dtype)
     stats: Dict = {}
     variant = infer_variant(params)
-    plan = SCRFD_VARIANTS[variant]["plan"]
+    spec = SCRFD_VARIANTS[variant]
+    plan = spec["plan"]
     tap_names = _variant_taps(plan)
     p = params["stem"]
-    y = L.conv2d(p["conv"], x, 2, 1, compute_dtype=compute_dtype)
+    s2d = int(spec.get("s2d", 0))
+    if s2d:
+        x = _space_to_depth(x, s2d)
+        y = L.conv2d(p["conv"], x, 1, 1, compute_dtype=compute_dtype)
+    else:
+        y = L.conv2d(p["conv"], x, 2, 1, compute_dtype=compute_dtype)
     if "bn" in p:  # folded by fold_inference_params()
         y, s = L.batch_norm(p["bn"], y, train)
         if train:
@@ -340,6 +364,16 @@ def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
+
+
+def _space_to_depth(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/r, W/r, C*r*r): pixel blocks become channels,
+    pushing channel count up before the first conv so the early layers
+    run at MXU-friendly widths instead of VPU-bound high resolutions."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h // r, w // r, c * r * r)
 
 
 def num_params(params) -> int:

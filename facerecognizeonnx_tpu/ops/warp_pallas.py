@@ -100,26 +100,33 @@ def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem):
     n = pl.num_programs(0)
     slot = lax.rem(f, 2)
 
-    def copy_for(face, slot_):
+    def copy_for(face, slot_, c):
+        """Channel c's window → scratch columns [c·WIN_X, (c+1)·WIN_X):
+        the 3 channels sit side-by-side so the interpolation contracts
+        all of them in ONE (PIX, WIN_Y)·(WIN_Y, 3·WIN_X) matmul instead
+        of 3 — the kernel is matmul-DISPATCH-bound, not FLOP-bound."""
         b = iparams_ref[face, 0]
         lvl = iparams_ref[face, 1]
         y_lo = pl.multiple_of(iparams_ref[face, 2], ALIGN_Y)
         x_lo = pl.multiple_of(iparams_ref[face, 3], ALIGN_X)
         return pltpu.make_async_copy(
-            pyr_ref.at[b, lvl, :, pl.ds(y_lo, WIN_Y), pl.ds(x_lo, WIN_X)],
-            win_scr.at[slot_],
-            sem.at[slot_],
+            pyr_ref.at[b, lvl, c, pl.ds(y_lo, WIN_Y), pl.ds(x_lo, WIN_X)],
+            win_scr.at[slot_, :, pl.ds(c * WIN_X, WIN_X)],
+            sem.at[slot_, c],
         )
 
     @pl.when(f == 0)
     def _first_fetch():
-        copy_for(0, 0).start()
+        for c in range(3):
+            copy_for(0, 0, c).start()
 
     @pl.when(f + 1 < n)
     def _prefetch_next():
-        copy_for(f + 1, lax.rem(f + 1, 2)).start()
+        for c in range(3):
+            copy_for(f + 1, lax.rem(f + 1, 2), c).start()
 
-    copy_for(f, slot).wait()
+    for c in range(3):
+        copy_for(f, slot, c).wait()
 
     af = fparams_ref[f, 0]
     bf_ = fparams_ref[f, 1]
@@ -146,10 +153,13 @@ def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem):
         yw = jnp.maximum(0.0, 1.0 - jnp.abs(ly - ry)).astype(jnp.bfloat16)
         xw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - rx)).astype(jnp.float32)
 
+        # ONE matmul for all 3 channels (windows laid side-by-side)
+        t = jnp.dot(
+            yw, win_scr[slot], preferred_element_type=jnp.float32
+        )  # (PIX, 3*WIN_X)
         for c in range(3):
-            win_c = win_scr[slot, c]  # (WIN_Y, WIN_X) bf16
-            t = jnp.dot(yw, win_c, preferred_element_type=jnp.float32)
-            out_ref[0, c, pl.ds(chunk * PIX, PIX)] = jnp.sum(t * xw, axis=1)
+            t_c = t[:, c * WIN_X : (c + 1) * WIN_X]
+            out_ref[0, c, pl.ds(chunk * PIX, PIX)] = jnp.sum(t_c * xw, axis=1)
         return 0
 
     lax.fori_loop(0, CHUNKS, chunk_body, 0)
@@ -243,8 +253,9 @@ def warp_affine_pallas(
             (1, 4, CHUNKS * PIX), lambda f, *_: (f, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, WIN_Y, WIN_X), jnp.bfloat16),  # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
+            # double-buffered; 3 channel windows side-by-side in lanes
+            pltpu.VMEM((2, WIN_Y, 3 * WIN_X), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     out = pl.pallas_call(

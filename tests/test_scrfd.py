@@ -166,3 +166,27 @@ def test_bn_fold_parity(det_params_cal, rng):
             a, b = np.asarray(a), np.asarray(b)
             scale = max(np.abs(a).max(), 1.0)
             assert np.abs(a - b).max() < 1e-4 * scale, f"stride {s}"
+
+
+def test_s2d_variant_contract(rng):
+    """500m_s2d: stride-4 space-to-depth stem preserves the output
+    contract (same strides/anchors/shapes as 500m) and BN-folds."""
+    p = scrfd.init_params(jax.random.PRNGKey(2), variant="500m_s2d")
+    assert scrfd.infer_variant(p) == "500m_s2d"
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+    outs = scrfd.apply(p, x)
+    for s in (8, 16, 32):
+        n = (128 // s) ** 2 * scrfd.NUM_ANCHORS
+        assert outs[s][0].shape == (1, n, 1)
+        assert outs[s][1].shape == (1, n, 4)
+        assert outs[s][2].shape == (1, n, 10)
+    folded = scrfd.fold_inference_params(p)
+    o2 = scrfd.apply(folded, x)
+    with jax.default_matmul_precision("highest"):
+        o1 = scrfd.apply(p, x)
+        o2 = scrfd.apply(folded, x)
+    for s in o1:
+        for a, b in zip(o1[s], o2[s]):
+            assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-3
+    # ~500M-FLOP-class param count stays in family
+    assert 0.3e6 < scrfd.num_params(p) < 1.5e6
