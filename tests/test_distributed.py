@@ -1,0 +1,117 @@
+"""Multi-host (multi-process) coverage for parallel/distributed.py.
+
+Two REAL processes initialize jax.distributed over localhost (Gloo CPU
+collectives), form one global 4-device mesh, and run a cross-process
+collective — the DCN story from SURVEY.md §5 exercised for real, not
+just declared. Plus env-var parsing/idempotency with a recording fake.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, %r)
+    from facerecognizeonnx_tpu.parallel.distributed import init_distributed
+    init_distributed()  # from COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from facerecognizeonnx_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() == 4 and jax.local_device_count() == 2
+    mesh = make_mesh(("model",), (4,))  # spans BOTH processes
+    assert len(set(d.process_index for d in mesh.devices.flat)) == 2
+    # cross-process collective: every process sees both contributions
+    got = multihost_utils.process_allgather(
+        jnp.asarray([float(jax.process_index())])
+    )
+    np.testing.assert_allclose(np.asarray(got).ravel(), [0.0, 1.0])
+    print(f"OK pid={jax.process_index()} devices={jax.device_count()}")
+    """
+) % (REPO,)
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(300)
+def test_two_process_distributed_mesh(tmp_path):
+    child = tmp_path / "child.py"
+    child.write_text(_CHILD)
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            NUM_PROCESSES="2",
+            PROCESS_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+        )
+        env.pop("XLA_FLAGS", None)  # child sets its own device count
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(child)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"OK pid={pid} devices=4" in out
+
+
+def test_env_parsing_and_idempotency(monkeypatch):
+    import jax
+
+    from facerecognizeonnx_tpu.parallel import distributed
+
+    calls = []
+
+    def fake_initialize(coordinator_address=None, num_processes=None,
+                        process_id=None):
+        calls.append((coordinator_address, num_processes, process_id))
+        if len(calls) > 1:
+            raise RuntimeError("backend already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("NUM_PROCESSES", "8")
+    monkeypatch.setenv("PROCESS_ID", "3")
+    distributed.init_distributed()
+    assert calls == [("10.0.0.1:1234", 8, 3)]
+    distributed.init_distributed()  # second call: swallowed
+    # explicit args beat env vars
+    distributed.init_distributed("1.2.3.4:99", 2, 1)
+    assert calls[-1] == ("1.2.3.4:99", 2, 1)
+
+
+def test_unrelated_runtime_error_propagates(monkeypatch):
+    import jax
+
+    from facerecognizeonnx_tpu.parallel import distributed
+
+    def boom(**kw):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="unreachable"):
+        distributed.init_distributed("x:1", 2, 0)
