@@ -66,7 +66,13 @@ def conv2d(
     groups: int = 1,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """2-D conv, NHWC x HWIO, symmetric padding, f32 accumulation."""
+    """2-D conv, NHWC x HWIO, symmetric padding, f32 accumulation.
+
+    The OUTPUT is cast back to compute_dtype: activations flow between
+    layers at the compute width (bf16 on TPU), halving HBM traffic and
+    VPU elementwise width vs carrying the f32 accumulator dtype around
+    (accumulation itself stays f32 inside the conv).
+    """
     w = params["w"].astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -79,7 +85,7 @@ def conv2d(
     )
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
-    return y
+    return y.astype(compute_dtype)
 
 
 def batch_norm(
