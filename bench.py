@@ -46,7 +46,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--batch", type=int, default=None,
-        help="frames per step (default: 32 on TPU — best measured; 2 on CPU)",
+        help="frames per step (default: 64 on TPU — best measured; 2 on CPU)",
     )
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
@@ -84,7 +84,7 @@ def main():
 
     on_tpu = not args.cpu and jax.devices()[0].platform != "cpu"
     if args.batch is None:
-        args.batch = 32 if on_tpu else 2
+        args.batch = 64 if on_tpu else 2
     cfg = PipelineConfig(warp_impl="pallas" if on_tpu else "gather")  # bf16 compute
     log(f"device: {jax.devices()[0]} warp={cfg.warp_impl} batch={args.batch}")
 
