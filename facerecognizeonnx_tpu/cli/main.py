@@ -265,9 +265,23 @@ def mode_identify(args):
 
 
 def mode_bench(args):
-    from facerecognizeonnx_tpu import bench as bench_mod  # noqa: F401
+    """Run the benchmark harness in-process (same JSON-line contract as
+    `python bench.py`); the driver's headline config by default."""
+    import importlib.util
+    import os
 
-    print("use `python bench.py` at the repo root for the full benchmark")
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    spec = importlib.util.spec_from_file_location(
+        "frt_bench", os.path.join(root, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = ["--config", "headline"]
+    if args.cpu:
+        argv.append("--cpu")
+    sys.argv = ["bench.py"] + argv
+    mod.main()
 
 
 def main(argv=None):
@@ -276,7 +290,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="facerecognizeonnx_tpu")
     parser.add_argument(
         "mode",
-        choices=["detect", "compare", "simple", "webcam", "enroll", "identify"],
+        choices=["detect", "compare", "simple", "webcam", "enroll", "identify", "bench"],
     )
     parser.add_argument("images", nargs="*")
     parser.add_argument("--det-model", default=None, help=".npz/.onnx detector weights")
@@ -314,8 +328,9 @@ def main(argv=None):
         "webcam": mode_webcam,
         "enroll": mode_enroll,
         "identify": mode_identify,
+        "bench": mode_bench,
     }
-    need = {"detect": 1, "compare": 2, "simple": 2, "webcam": 0, "enroll": 1, "identify": 1}
+    need = {"detect": 1, "compare": 2, "simple": 2, "webcam": 0, "enroll": 1, "identify": 1, "bench": 0}
     if len(args.images) < need[args.mode]:
         print("无效的命令或参数")
         return -1

@@ -5,15 +5,15 @@ TPU costs per-index and tops out ~12 GB/s even for big windowed slices
 (docs/PERFORMANCE.md). This kernel bypasses gather entirely:
 
   host prologue (XLA): 4-level channels-first mip pyramid
-      (B, 4, 3, H, W) uint8, level picked per face so its whole source
-      AABB fits a static WIN x WIN window
-  kernel, grid (faces, chunks):
-      chunk 0: ONE async DMA pulls the face's (3, WIN, WIN) window
-               HBM → VMEM (76 KB — a streaming copy, not a gather)
-      each chunk: 28 output rows × 112 cols as 3136 flat pixels;
-               bilinear = hat-weight matrices built from iota, then
-               per-channel (3136, WIN) @ (WIN, WIN) MXU matmul (y-pass)
-               and an elementwise row-reduction (x-pass)
+      (B, 4, 3, PAD_H, PAD_W) bf16, level picked per face so its whole
+      source AABB fits the static (WIN_Y, WIN_X) = (128, 256) window
+  kernel, grid (faces,):
+      3 async DMAs pull the face's channel windows side-by-side into a
+      (128, 768) VMEM slab (double-buffered: face f+1's fetch overlaps
+      face f's compute); 7 chunks of 16 output rows each run in a
+      fori_loop — per chunk ONE (2048, 128)@(128, 768) bf16 MXU matmul
+      (y-pass, all channels at once) then an elementwise hat-weighted
+      x-reduction on the VPU
 
 Semantics match ops/warp_banded.py (zero border, box-filtered mips for
 faces bigger than the window); level-0 faces are exact bilinear up to
