@@ -35,6 +35,9 @@ class PipelineConfig:
     # --- recognizer (reference: src/face_recognizer.cpp:8-10)
     rec_input_size: int = 112
     feature_dim: int = 512
+    # w600k family member: iresnet18|34|50|100 (w600k_r50 = iresnet50) or
+    # mbf|mbf_large (w600k_mbf, the buffalo_s/sc pack recognizer).
+    rec_arch: str = "iresnet50"
 
     # --- matching (reference: src/main.cpp:118, src/face_recognizer.cpp:333)
     match_threshold: float = 0.6  # on the (cos+1)/2 scale

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from facerecognizeonnx_tpu.config import PipelineConfig
-from facerecognizeonnx_tpu.models import arcface
+from facerecognizeonnx_tpu.models import recognizer_apply
 from facerecognizeonnx_tpu.models.layers import l2_normalize
 from facerecognizeonnx_tpu.ops.image import normalize_to_rgb, resize_bilinear
 from facerecognizeonnx_tpu.ops.umeyama import ARCFACE_DST_5PTS, umeyama
@@ -87,10 +87,10 @@ def embed_crops(
     """(K, 112, 112, 3) BGR crops → (K, 512) L2-normalized features."""
     dtype = jnp.dtype(cfg.compute_dtype) if compute_dtype is None else compute_dtype
     x = normalize_to_rgb(crops_bgr, cfg.pixel_mean, cfg.pixel_scale, dtype=dtype)
-    if hasattr(params, "apply"):  # OnnxRunner from a real w600k_r50.onnx
+    if hasattr(params, "apply"):  # OnnxRunner from a real w600k_*.onnx
         feats = params.apply(x, dtype)
-    else:
-        feats = arcface.apply(params, x, compute_dtype=dtype)
+    else:  # native IResNet or MobileFaceNet pytree (structure-dispatched)
+        feats = recognizer_apply(params, x, compute_dtype=dtype)
     return l2_normalize(feats)
 
 

@@ -28,7 +28,7 @@ from facerecognizeonnx_tpu.embed.pipeline import (
     embed_program,
     embed_simple_program,
 )
-from facerecognizeonnx_tpu.models import arcface, scrfd
+from facerecognizeonnx_tpu.models import scrfd
 from facerecognizeonnx_tpu.types import Detections, FaceBox, face_boxes_to_arrays
 from facerecognizeonnx_tpu.utils import checkpoint
 from facerecognizeonnx_tpu.utils.hostinit import init_on_host
@@ -182,19 +182,31 @@ class FaceRecognizer:
             return map_arcface(path, input_size=self.cfg.rec_input_size)
 
         from facerecognizeonnx_tpu.errors import ModelLoadError
+        from facerecognizeonnx_tpu.models import (
+            recognizer_module,
+            recognizer_module_for,
+        )
 
         try:
+            arch_mod = recognizer_module(self.cfg.rec_arch)
             params = _load_weights(
-                model_path, arcface.init_params, self.cfg.seed + 1,
+                model_path,
+                lambda key: arch_mod.init_params(
+                    key, arch=self.cfg.rec_arch,
+                    input_size=self.cfg.rec_input_size,
+                    feature_dim=self.cfg.feature_dim,
+                ),
+                self.cfg.seed + 1,
                 native_mapper=_map_native,
             )
         except ModelLoadError as e:
             print(f"Error loading model: {e}")
             return False
-        # exact fold of the post-conv/post-FC half of the BNs (inference
-        # wrapper never trains; see models/arcface.fold_inference_params)
+        # exact fold of the post-conv/post-FC BNs (inference wrapper never
+        # trains; arcface folds its post-conv half, mobilefacenet folds ALL
+        # of its BNs — see each model's fold_inference_params)
         if isinstance(params, dict) and "features_bn" in params:
-            params = arcface.fold_inference_params(params)
+            params = recognizer_module_for(params).fold_inference_params(params)
         self.params = params
         print("Face recognizer model loaded successfully!")
         print(f"Using input size: {self.cfg.rec_input_size}x{self.cfg.rec_input_size}")

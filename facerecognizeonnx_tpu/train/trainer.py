@@ -22,7 +22,6 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from facerecognizeonnx_tpu.config import PipelineConfig
-from facerecognizeonnx_tpu.models import arcface
 from facerecognizeonnx_tpu.models.layers import l2_normalize, update_bn_stats
 from facerecognizeonnx_tpu.train.arcface_loss import (
     arcface_margin_logits,
@@ -52,9 +51,12 @@ def init_train_state(
     from facerecognizeonnx_tpu.train.arcface_loss import init_classifier
     from facerecognizeonnx_tpu.utils.hostinit import init_on_host
 
+    from facerecognizeonnx_tpu.models import recognizer_module
+
     k1, k2 = jax.random.split(key)
+    arch_mod = recognizer_module(arch)
     params = init_on_host(
-        lambda: arcface.init_params(
+        lambda: arch_mod.init_params(
             k1, arch=arch, input_size=cfg.rec_input_size,
             feature_dim=cfg.feature_dim,
         )
@@ -108,7 +110,9 @@ def make_train_step(
     data_sharding = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
-    backbone_fwd = lambda params, images: arcface.apply(  # noqa: E731
+    from facerecognizeonnx_tpu.models import recognizer_apply
+
+    backbone_fwd = lambda params, images: recognizer_apply(  # noqa: E731
         params, images, compute_dtype=compute_dtype, train=True
     )
     if remat:

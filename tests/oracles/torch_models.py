@@ -98,6 +98,52 @@ def scrfd_forward(params, x_nhwc: np.ndarray):
         return outs
 
 
+def mobilefacenet_forward(params, x_nhwc: np.ndarray) -> np.ndarray:
+    """Run the MobileFaceNet topology in torch. x_nhwc: (B, S, S, 3) f32.
+
+    Consumes models/mobilefacenet.py's (unfolded) params pytree; the
+    body plan is re-derived from the same spec table so the oracle stays
+    an independent executor, not a re-export."""
+    from facerecognizeonnx_tpu.models.mobilefacenet import (
+        MBF_SPECS,
+        _body_plan,
+    )
+
+    blocks, scale = next(
+        (b, s)
+        for b, s in MBF_SPECS.values()
+        if len(_body_plan(b, s)) == len(params["body"])
+    )
+    plan = _body_plan(blocks, scale)
+
+    def cbp(p, x, stride=1, pad=0, groups=1):
+        y = conv2d(p, x, stride, pad, groups)
+        return y
+
+    with torch.no_grad():
+        x = torch.from_numpy(np.asarray(x_nhwc, np.float32)).permute(0, 3, 1, 2)
+        p = params["stem"]
+        out = prelu(p["prelu"], bn(p["bn"], cbp(p["conv"], x, 2, 1)))
+        p = params["stem_dw"]
+        out = prelu(p["prelu"], bn(p["bn"], cbp(p["conv"], out, 1, 1, groups=64)))
+        for (cin, cout, g, stride), blk in zip(plan, params["body"]):
+            y = prelu(blk["pw1_prelu"], bn(blk["pw1_bn"], cbp(blk["pw1"], out)))
+            y = prelu(
+                blk["dw_prelu"],
+                bn(blk["dw_bn"], cbp(blk["dw"], y, stride, 1, groups=g)),
+            )
+            y = bn(blk["pw2_bn"], cbp(blk["pw2"], y))
+            out = out + y if stride == 1 else y
+        p = params["conv_sep"]
+        out = prelu(p["prelu"], bn(p["bn"], cbp(p["conv"], out)))
+        p = params["gdc_dw"]
+        out = bn(p["bn"], cbp(p["conv"], out, 1, 0, groups=512))
+        out = out.permute(0, 2, 3, 1).reshape(out.shape[0], -1)  # (B, 512)
+        out = out @ _t(params["fc"]["w"])
+        out = bn(params["features_bn"], out)
+        return out.numpy()
+
+
 def iresnet_forward(params, x_nhwc: np.ndarray) -> np.ndarray:
     """Run the IResNet topology in torch. x_nhwc: (B, S, S, 3) float32."""
     with torch.no_grad():
