@@ -184,5 +184,146 @@ def map_arcface(
     return skeleton
 
 
+def map_mobilefacenet(
+    path_or_graph,
+    arch: str = "mbf",
+    input_size: int = 112,
+    verify: bool = True,
+) -> Optional[Dict]:
+    """Map a w600k_mbf-shaped export onto the native MobileFaceNet params
+    (models/mobilefacenet.py). Same contract as map_arcface: walk the
+    forward-order Conv/BN/PRelu sequences against the native skeleton,
+    OIHW→HWIO each conv, then numerically self-verify vs the graph
+    executor — None on any mismatch (caller falls back to the executor)."""
+    from facerecognizeonnx_tpu.models import mobilefacenet as mbf
+
+    graph = (
+        proto.load_model(path_or_graph)
+        if isinstance(path_or_graph, str)
+        else path_or_graph
+    )
+    seq = _collect(graph)
+    blocks, scale = mbf.MBF_SPECS[arch]
+    plan = mbf._body_plan(blocks, scale)
+    skeleton = mbf.init_params(jax.random.PRNGKey(0), arch=arch, input_size=input_size)
+
+    ci, bi, pi = iter(seq["Conv"]), iter(seq["BatchNormalization"]), iter(seq["PRelu"])
+    gemms = seq["Gemm"] + seq["MatMul"]
+
+    def take_conv(dst, kh, cin, cout, groups=1):
+        item = next(ci, None)
+        if item is None:
+            raise _Mismatch("ran out of Conv nodes")
+        w = item["weights"][0]
+        want = (cout, cin // groups, kh, kh)
+        if w is None or w.shape != want:
+            raise _Mismatch(f"conv shape {None if w is None else w.shape} != {want}")
+        if int(item["node"].attrs.get("group", 1)) != groups:
+            raise _Mismatch("conv group attribute mismatch")
+        dst["w"] = _conv_weight(w.astype(np.float32))
+        if len(item["weights"]) > 1 and item["weights"][1] is not None:
+            dst["b"] = item["weights"][1].astype(np.float32)
+
+    def take_bn(dst, c):
+        item = next(bi, None)
+        if item is None:
+            raise _Mismatch("ran out of BN nodes")
+        ws = item["weights"]
+        if len(ws) < 4 or any(w is None or w.shape != (c,) for w in ws[:4]):
+            raise _Mismatch(f"bn channels != {c}")
+        dst["scale"], dst["bias"], dst["mean"], dst["var"] = (
+            w.astype(np.float32) for w in ws[:4]
+        )
+
+    def take_prelu(dst, c):
+        item = next(pi, None)
+        if item is None:
+            raise _Mismatch("ran out of PRelu nodes")
+        w = item["weights"][0]
+        if w is None or w.size != c:
+            raise _Mismatch(f"prelu channels != {c}")
+        dst["alpha"] = w.reshape(-1).astype(np.float32)
+
+    c64 = 64 * scale
+    spatial = input_size // 16
+    try:
+        take_conv(skeleton["stem"]["conv"], 3, 3, c64)
+        take_bn(skeleton["stem"]["bn"], c64)
+        take_prelu(skeleton["stem"]["prelu"], c64)
+        take_conv(skeleton["stem_dw"]["conv"], 3, c64, c64, groups=64)
+        take_bn(skeleton["stem_dw"]["bn"], c64)
+        take_prelu(skeleton["stem_dw"]["prelu"], c64)
+        for (cin, cout, g, _stride), blk in zip(plan, skeleton["body"]):
+            take_conv(blk["pw1"], 1, cin, g)
+            take_bn(blk["pw1_bn"], g)
+            take_prelu(blk["pw1_prelu"], g)
+            take_conv(blk["dw"], 3, g, g, groups=g)
+            take_bn(blk["dw_bn"], g)
+            take_prelu(blk["dw_prelu"], g)
+            take_conv(blk["pw2"], 1, g, cout)
+            take_bn(blk["pw2_bn"], cout)
+        take_conv(skeleton["conv_sep"]["conv"], 1, 2 * c64, 512)
+        take_bn(skeleton["conv_sep"]["bn"], 512)
+        take_prelu(skeleton["conv_sep"]["prelu"], 512)
+        take_conv(skeleton["gdc_dw"]["conv"], spatial, 512, 512, groups=512)
+        take_bn(skeleton["gdc_dw"]["bn"], 512)
+        if not gemms:
+            raise _Mismatch("no Gemm/MatMul head")
+        gemm = gemms[0]
+        w = gemm["weights"][0]
+        if w is None:
+            raise _Mismatch("Gemm weight not an initializer")
+        trans_b = bool(gemm["node"].attrs.get("transB", 0))
+        feat_dim = skeleton["fc"]["w"].shape[1]
+        wt = w if trans_b else w.T  # → (out, 512); GDC output is 1x1 so
+        if wt.shape != (feat_dim, 512):  # CHW==C order, plain transpose
+            raise _Mismatch(f"fc shape {w.shape} unexpected")
+        skeleton["fc"] = {"w": wt.T.astype(np.float32).copy()}
+        if len(gemm["weights"]) > 1 and gemm["weights"][1] is not None:
+            skeleton["fc"]["b"] = gemm["weights"][1].astype(np.float32)
+        take_bn(skeleton["features_bn"], feat_dim)
+        for it, tag_ in ((ci, "Conv"), (bi, "BN"), (pi, "PRelu")):
+            if next(it, None) is not None:
+                raise _Mismatch(f"extra {tag_} nodes")
+    except _Mismatch:
+        return None
+
+    if verify:
+        try:
+            rng = np.random.default_rng(0)
+            x = rng.uniform(-1, 1, (1, input_size, input_size, 3)).astype(
+                np.float32
+            )
+            native = np.asarray(mbf.apply(skeleton, x))
+            ex = Executor(graph)
+            ref = np.asarray(
+                ex.run({ex.input_names[0]: np.transpose(x, (0, 3, 1, 2))})[0]
+            ).reshape(1, -1)
+            cos = float(
+                (native * ref).sum()
+                / max(np.linalg.norm(native) * np.linalg.norm(ref), 1e-12)
+            )
+        except Exception:
+            return None
+        if not np.isfinite(cos) or cos < 1 - 1e-3:
+            return None
+    return skeleton
+
+
+def map_recognizer(path: str, arch: str, input_size: int = 112) -> Optional[Dict]:
+    """Arch-directed native mapping: try the mapper matching `arch`
+    first, then the other family (both self-verify, so a wrong guess
+    can only cost one failed walk, never wrong weights)."""
+    if arch.startswith("mbf"):
+        attempts = [(map_mobilefacenet, arch), (map_arcface, "iresnet50")]
+    else:
+        attempts = [(map_arcface, arch), (map_mobilefacenet, "mbf")]
+    for fn, a in attempts:
+        mapped = fn(path, arch=a, input_size=input_size)
+        if mapped is not None:
+            return mapped
+    return None
+
+
 class _Mismatch(Exception):
     pass

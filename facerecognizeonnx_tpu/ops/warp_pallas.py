@@ -55,8 +55,11 @@ PAD_H, PAD_W = 656, 768  # canvas padding so aligned windows always fit
 OUT = 112
 ROWS_PER_CHUNK = 16
 CHUNKS = OUT // ROWS_PER_CHUNK  # 7
-COLS_PAD = 128  # lane-aligned column count; cols 112..127 are padding
-PIX = ROWS_PER_CHUNK * COLS_PAD  # 3584 flat (row, padded-col) pixels/chunk
+# v3: no column padding — chunks are 16 rows x 112 real columns. PIX is
+# still a multiple of 128 (1792 = 14 vregs of lanes), so flat VMEM
+# stores stay lane-aligned, and EVERY per-pixel tensor (weight gen,
+# matmuls, x-pass) shrinks 12.5% vs the v2 (row, 128-padded-col) layout.
+PIX = ROWS_PER_CHUNK * OUT  # 1792 flat (row, col) pixels per chunk
 
 
 def build_pyramid_cf(frames_u8: jnp.ndarray) -> jnp.ndarray:
@@ -137,32 +140,54 @@ def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem):
 
     ry = lax.broadcasted_iota(jnp.int32, (1, WIN_Y), 1).astype(jnp.float32)
     rx = lax.broadcasted_iota(jnp.int32, (1, WIN_X), 1).astype(jnp.float32)
-    z = lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    jj = (z & (COLS_PAD - 1)).astype(jnp.float32)  # z % 128
+    zf = lax.broadcasted_iota(jnp.int32, (PIX, 1), 0).astype(jnp.float32)
+    # row/col of the flat pixel index: OUT=112 is not a power of two, so
+    # the split is float multiply-floor (exact: values ≤ PIX are far below
+    # f32 integer precision and the +0.5 bias dwarfs the reciprocal error)
+    ii_base = jnp.floor((zf + 0.5) * (1.0 / OUT))
+    jj = zf - ii_base * OUT
 
-    # fori_loop (not Python unroll): ONE live set of (yw, t, xw) temps —
-    # unrolling overlapped two chunks' temps and blew the 16 MB scoped
-    # VMEM stack at batch 32 (v5e compile error).
-    def chunk_body(chunk, _):
-        i0 = chunk * ROWS_PER_CHUNK
-        ii = ((z >> 7) + i0).astype(jnp.float32)  # z // 128 + row offset
+    # Channel-block reduction matrix: ones_blk[x3, c] = 1 iff column x3
+    # belongs to channel c's WIN_X block. The x-pass reduction
+    # Σ_x t[p, x]·xw[p, x] then becomes ONE (PIX, 3·WIN_X)@(3·WIN_X, 128)
+    # MXU matmul for all channels instead of three 256-lane cross-lane
+    # VPU reductions (v2's measured x-pass was ~29% of kernel time).
+    # 128 output lanes (only 3 live) keep the matmul N-dim tile-aligned.
+    blk = lax.broadcasted_iota(jnp.int32, (3 * WIN_X, 128), 0) // WIN_X
+    cid = lax.broadcasted_iota(jnp.int32, (3 * WIN_X, 128), 1)
+    ones_blk = jnp.where(blk == cid, 1.0, 0.0).astype(jnp.bfloat16)
+
+    def weights_for(chunk):
+        """Hat interpolation weights of one 16-row chunk (VPU work)."""
+        ii = ii_base + chunk * ROWS_PER_CHUNK
         lx = af * jj + bf_ * ii + tx_loc  # (PIX, 1)
         ly = cf * jj + df * ii + ty_loc
         lx = jnp.clip(lx, -2.0, WIN_X + 1.0)
         ly = jnp.clip(ly, -2.0, WIN_Y + 1.0)
         yw = jnp.maximum(0.0, 1.0 - jnp.abs(ly - ry)).astype(jnp.bfloat16)
-        xw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - rx)).astype(jnp.float32)
+        xw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - rx)).astype(jnp.bfloat16)
+        return yw, xw
 
+    # Software-pipelined chunk loop: chunk k's MXU matmul issues FIRST,
+    # then chunk k+1's weight generation (independent VPU work) runs
+    # while the MXU drains, then the x-pass consumes the matmul result.
+    # v2 generated weights immediately before using them, serializing
+    # VPU-gen → MXU → VPU-reduce (docs/PERFORMANCE.md warp accounting).
+    def chunk_body(chunk, carry):
+        yw, xw = carry
         # ONE matmul for all 3 channels (windows laid side-by-side)
         t = jnp.dot(
             yw, win_scr[slot], preferred_element_type=jnp.float32
         )  # (PIX, 3*WIN_X)
+        nxt = weights_for(jnp.minimum(chunk + 1, CHUNKS - 1))
+        xw3 = jnp.concatenate([xw, xw, xw], axis=1)  # (PIX, 3*WIN_X)
+        prod = (t.astype(jnp.bfloat16) * xw3)
+        r = jnp.dot(prod, ones_blk, preferred_element_type=jnp.float32)
         for c in range(3):
-            t_c = t[:, c * WIN_X : (c + 1) * WIN_X]
-            out_ref[0, c, pl.ds(chunk * PIX, PIX)] = jnp.sum(t_c * xw, axis=1)
-        return 0
+            out_ref[0, c, pl.ds(chunk * PIX, PIX)] = r[:, c]
+        return nxt
 
-    lax.fori_loop(0, CHUNKS, chunk_body, 0)
+    lax.fori_loop(0, CHUNKS, chunk_body, weights_for(0))
     out_ref[0, 3, :] = jnp.zeros((CHUNKS * PIX,), jnp.float32)
 
 
@@ -265,5 +290,6 @@ def warp_affine_pallas(
         interpret=interpret,
     )(iparams, fparams, pyramid)
 
-    crops = out[:, :3].reshape(B, K, 3, OUT, COLS_PAD)[..., :OUT]
+    # CHUNKS*PIX = OUT*OUT exactly (no column padding in v3)
+    crops = out[:, :3].reshape(B, K, 3, OUT, OUT)
     return jnp.transpose(crops, (0, 1, 3, 4, 2))

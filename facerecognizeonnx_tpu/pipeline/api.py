@@ -177,9 +177,11 @@ class FaceRecognizer:
 
     def load_model(self, model_path: Optional[str] = None) -> bool:
         def _map_native(path):
-            from facerecognizeonnx_tpu.onnx_import.native_map import map_arcface
+            from facerecognizeonnx_tpu.onnx_import.native_map import map_recognizer
 
-            return map_arcface(path, input_size=self.cfg.rec_input_size)
+            return map_recognizer(
+                path, self.cfg.rec_arch, input_size=self.cfg.rec_input_size
+            )
 
         from facerecognizeonnx_tpu.errors import ModelLoadError
         from facerecognizeonnx_tpu.models import (

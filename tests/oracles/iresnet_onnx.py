@@ -22,7 +22,7 @@ class _Emitter:
         self.n += 1
         return f"{tag_}_{self.n}"
 
-    def conv(self, x, p, stride, pad):
+    def conv(self, x, p, stride, pad, groups=1):
         out = self.name("conv")
         w = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))  # HWIO→OIHW
         wn = out + "_w"
@@ -33,10 +33,11 @@ class _Emitter:
             self.inits.append(W.tensor(bn_, np.asarray(p["b"])))
             inputs.append(bn_)
         kh = w.shape[2]
-        self.nodes.append(
-            W.node("Conv", inputs, [out], strides=[stride, stride],
-                   pads=[pad] * 4, kernel_shape=[kh, kh])
-        )
+        attrs = dict(strides=[stride, stride], pads=[pad] * 4,
+                     kernel_shape=[kh, kh])
+        if groups != 1:  # torch exports group=1 implicitly otherwise
+            attrs["group"] = groups
+        self.nodes.append(W.node("Conv", inputs, [out], **attrs))
         return out
 
     def bn(self, x, p):

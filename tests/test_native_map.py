@@ -64,3 +64,54 @@ def test_node_order_mismatch_rejected(r18_small):
     i, j = conv_idx[0], conv_idx[1]
     graph.nodes[i], graph.nodes[j] = graph.nodes[j], graph.nodes[i]
     assert map_arcface(graph, arch="iresnet18", input_size=32) is None
+
+
+# ---------------------------------------------------------- MobileFaceNet
+
+
+@pytest.fixture(scope="module")
+def mbf_small():
+    from facerecognizeonnx_tpu.models import mobilefacenet as mbf
+
+    return init_on_host(
+        lambda: mbf.init_params(jax.random.PRNGKey(4), input_size=64)
+    )
+
+
+def test_mbf_roundtrip_recovers_params(mbf_small, tmp_path):
+    from facerecognizeonnx_tpu.onnx_import.native_map import map_mobilefacenet
+    from tests.oracles.mbf_onnx import emit_mobilefacenet_onnx
+
+    data = emit_mobilefacenet_onnx(mbf_small, input_size=64)
+    path = str(tmp_path / "mbf.onnx")
+    open(path, "wb").write(data)
+    mapped = map_mobilefacenet(path, input_size=64)
+    assert mapped is not None
+    flat_a = jax.tree_util.tree_leaves_with_path(mbf_small)
+    flat_b = jax.tree_util.tree_leaves_with_path(mapped)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), atol=1e-6, err_msg=str(pa)
+        )
+
+
+def test_map_recognizer_routes_by_family(mbf_small, r18_small):
+    """map_recognizer finds the right family even when the arch hint is
+    wrong (both mappers self-verify; a wrong guess costs one walk)."""
+    from facerecognizeonnx_tpu.onnx_import.native_map import map_recognizer
+    from tests.oracles.mbf_onnx import emit_mobilefacenet_onnx
+    from facerecognizeonnx_tpu.models import mobilefacenet as mbf
+
+    graph_mbf = proto.parse_model(emit_mobilefacenet_onnx(mbf_small, 64))
+    graph_r18 = proto.parse_model(emit_iresnet_onnx(r18_small, "iresnet18", 32))
+    # write-through to files (map_recognizer takes paths or graphs alike
+    # because the underlying mappers do)
+    got = map_recognizer(graph_mbf, arch="mbf", input_size=64)
+    assert got is not None and "body" in got
+    got = map_recognizer(graph_r18, arch="iresnet18", input_size=32)
+    assert got is not None and "layer1" in got
+    # wrong-family hint still resolves via the fallback walk
+    got = map_recognizer(graph_mbf, arch="iresnet18", input_size=64)
+    assert got is not None and "body" in got

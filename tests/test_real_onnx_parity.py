@@ -140,3 +140,33 @@ def test_w600k_shaped_export_through_executor(rng):
     wn = np.asarray(l2_normalize(jnp.asarray(want)))
     cos = (gn * wn).sum(axis=1)
     assert (cos > 1 - 1e-3).all(), cos
+
+
+def test_w600k_mbf_shaped_export_through_executor(rng):
+    """MobileFaceNet torch-shaped export (group Convs, GDC head,
+    bias-free Gemm) through the generic executor at 1e-3 cosine vs the
+    native model — the w600k_mbf counterpart of the r50 test above."""
+    from facerecognizeonnx_tpu.models import mobilefacenet as mbf
+    from facerecognizeonnx_tpu.models.layers import l2_normalize
+    from tests.oracles.mbf_onnx import emit_mobilefacenet_onnx
+    from tests.test_arcface import _floor_bn_var
+
+    import tempfile, os
+
+    params = mbf.init_params(jax.random.PRNGKey(9), input_size=64)
+    x_cal = jnp.asarray(rng.uniform(-1, 1, (4, 64, 64, 3)).astype(np.float32))
+    _, stats = mbf.apply(params, x_cal, train=True)
+    params = _floor_bn_var(mbf.update_bn_stats(params, stats))
+    blob = emit_mobilefacenet_onnx(params, input_size=64)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "w600k_mbf_shaped.onnx")
+        with open(path, "wb") as f:
+            f.write(blob)
+        runner = OnnxRunner(path, kind="arcface")
+        x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+        got = np.asarray(runner.apply(jnp.asarray(x)))
+        want = np.asarray(mbf.apply(params, jnp.asarray(x)))
+    gn = np.asarray(l2_normalize(jnp.asarray(got)))
+    wn = np.asarray(l2_normalize(jnp.asarray(want)))
+    cos = (gn * wn).sum(axis=1)
+    assert (cos > 1 - 1e-3).all(), cos

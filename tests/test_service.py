@@ -29,7 +29,10 @@ def service():
 
 def test_single_request(service, rng):
     img = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
-    res = service.identify(img, top_k=3)
+    # generous timeout: the first call compiles the fused program, and CI
+    # machines may be running TPU benches concurrently (observed flake:
+    # 120s default timed out while XLA compile threads fought for cores)
+    res = service.identify(img, top_k=3, timeout=600.0)
     assert res.boxes.shape == (8, 4)
     assert res.sims.shape == (8, 3)
     k = int(res.valid.sum())
