@@ -106,5 +106,8 @@ def nms_fixed(
         new_keep = valid_s & ~jnp.any(suppressor & keep[:, None], axis=0)
         return new_keep, jnp.any(new_keep != keep)
 
-    keep, _ = lax.while_loop(cond, body, (valid_s, jnp.asarray(True)))
+    # initial `changed` is derived from valid_s (always True) so its
+    # varying-manual-axes match the body output under shard_map
+    changed0 = jnp.any(valid_s) | jnp.asarray(True)
+    keep, _ = lax.while_loop(cond, body, (valid_s, changed0))
     return boxes_s, scores_s, keep, order

@@ -147,47 +147,33 @@ def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem):
     ii_base = jnp.floor((zf + 0.5) * (1.0 / OUT))
     jj = zf - ii_base * OUT
 
-    # Channel-block reduction matrix: ones_blk[x3, c] = 1 iff column x3
-    # belongs to channel c's WIN_X block. The x-pass reduction
-    # Σ_x t[p, x]·xw[p, x] then becomes ONE (PIX, 3·WIN_X)@(3·WIN_X, 128)
-    # MXU matmul for all channels instead of three 256-lane cross-lane
-    # VPU reductions (v2's measured x-pass was ~29% of kernel time).
-    # 128 output lanes (only 3 live) keep the matmul N-dim tile-aligned.
-    blk = lax.broadcasted_iota(jnp.int32, (3 * WIN_X, 128), 0) // WIN_X
-    cid = lax.broadcasted_iota(jnp.int32, (3 * WIN_X, 128), 1)
-    ones_blk = jnp.where(blk == cid, 1.0, 0.0).astype(jnp.bfloat16)
-
-    def weights_for(chunk):
-        """Hat interpolation weights of one 16-row chunk (VPU work)."""
+    # Measured alternatives that LOST on v5e (keep v2's simple loop shape;
+    # see docs/PERFORMANCE.md round-2 notes):
+    #   - software-pipelining next chunk's weights through the fori_loop
+    #     carry: 28.9 vs 23.5 ms — the bf16 carries spill and Mosaic was
+    #     already overlapping enough;
+    #   - replacing the per-channel cross-lane x-reduction with one
+    #     (PIX, 3·WIN_X)@(3·WIN_X, 128) ones-block MXU matmul: 27.5 ms —
+    #     the extra t-cast + xw tiling outweigh the reduce it removes.
+    def chunk_body(chunk, _):
         ii = ii_base + chunk * ROWS_PER_CHUNK
         lx = af * jj + bf_ * ii + tx_loc  # (PIX, 1)
         ly = cf * jj + df * ii + ty_loc
         lx = jnp.clip(lx, -2.0, WIN_X + 1.0)
         ly = jnp.clip(ly, -2.0, WIN_Y + 1.0)
         yw = jnp.maximum(0.0, 1.0 - jnp.abs(ly - ry)).astype(jnp.bfloat16)
-        xw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - rx)).astype(jnp.bfloat16)
-        return yw, xw
+        xw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - rx)).astype(jnp.float32)
 
-    # Software-pipelined chunk loop: chunk k's MXU matmul issues FIRST,
-    # then chunk k+1's weight generation (independent VPU work) runs
-    # while the MXU drains, then the x-pass consumes the matmul result.
-    # v2 generated weights immediately before using them, serializing
-    # VPU-gen → MXU → VPU-reduce (docs/PERFORMANCE.md warp accounting).
-    def chunk_body(chunk, carry):
-        yw, xw = carry
         # ONE matmul for all 3 channels (windows laid side-by-side)
         t = jnp.dot(
             yw, win_scr[slot], preferred_element_type=jnp.float32
         )  # (PIX, 3*WIN_X)
-        nxt = weights_for(jnp.minimum(chunk + 1, CHUNKS - 1))
-        xw3 = jnp.concatenate([xw, xw, xw], axis=1)  # (PIX, 3*WIN_X)
-        prod = (t.astype(jnp.bfloat16) * xw3)
-        r = jnp.dot(prod, ones_blk, preferred_element_type=jnp.float32)
         for c in range(3):
-            out_ref[0, c, pl.ds(chunk * PIX, PIX)] = r[:, c]
-        return nxt
+            t_c = t[:, c * WIN_X : (c + 1) * WIN_X]
+            out_ref[0, c, pl.ds(chunk * PIX, PIX)] = jnp.sum(t_c * xw, axis=1)
+        return 0
 
-    lax.fori_loop(0, CHUNKS, chunk_body, weights_for(0))
+    lax.fori_loop(0, CHUNKS, chunk_body, 0)
     out_ref[0, 3, :] = jnp.zeros((CHUNKS * PIX,), jnp.float32)
 
 

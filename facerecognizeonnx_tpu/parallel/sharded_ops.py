@@ -117,3 +117,62 @@ def sharded_batch_embed(
         out_shardings=NamedSharding(mesh, P(axis)),
     )
     return fn(params, x)[:b_real]
+
+
+def sharded_frames_to_features(
+    det_params,
+    arc_params,
+    frames_u8,
+    cfg,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+    max_faces_embed: int = 8,
+):
+    """Data-parallel FUSED pipeline over the mesh: a batch of letterboxed
+    frames sharded on `axis` runs the whole detect→align→embed program
+    (pipeline/fused.frames_to_features) locally per chip — params
+    replicated, zero collectives on the forward path, so throughput
+    scales linearly over ICI-connected chips. This is the multi-chip
+    form of the reference's webcam/compare inner loop
+    (src/main.cpp:214-257 — one frame, one face, one CPU there).
+
+    frames_u8: (B, S, S, 3) uint8; B is padded to a multiple of the
+    data-axis size (padding frames produce valid=False slots).
+    Returns (Detections, (B, K, 512) features) for the REAL B rows.
+
+    shard_map (not jit+out_shardings) so EVERY op — including the Pallas
+    warp kernel, which GSPMD cannot auto-partition — runs on local
+    per-chip shards.
+    """
+    from facerecognizeonnx_tpu.pipeline.fused import frames_to_features
+    from facerecognizeonnx_tpu.types import Detections
+
+    if mesh is None:
+        mesh = make_mesh((axis,))
+    n = mesh.shape[axis]
+    frames_host = _pad_rows(np.asarray(frames_u8), n)
+    b_real = np.asarray(frames_u8).shape[0]
+    x = jax.device_put(frames_host, NamedSharding(mesh, P(axis)))
+
+    sh = P(axis)
+    fn = jax.jit(
+        shard_map(
+            lambda dp, ap, v: frames_to_features(
+                dp, ap, v, cfg, max_faces_embed=max_faces_embed
+            ),
+            mesh=mesh,
+            in_specs=(P(), P(), sh),
+            out_specs=(
+                Detections(boxes=sh, scores=sh, kps=sh, valid=sh),
+                sh,
+            ),
+        )
+    )
+    dets, feats = fn(det_params, arc_params, x)
+    dets = Detections(
+        boxes=dets.boxes[:b_real],
+        scores=dets.scores[:b_real],
+        kps=dets.kps[:b_real],
+        valid=dets.valid[:b_real],
+    )
+    return dets, feats[:b_real]

@@ -94,3 +94,44 @@ def test_sharded_batch_embed_matches_local(rng):
     np.testing.assert_allclose(sharded, local, atol=2e-2)
     cos = (sharded * local).sum(-1)
     assert cos.min() > 1 - 1e-4
+
+
+def test_sharded_fused_pipeline_matches_local(rng):
+    """Data-parallel fused detect→align→embed over the mesh equals the
+    single-device program frame-for-frame (params replicated, batch
+    sharded; padding frames are dropped)."""
+    from facerecognizeonnx_tpu.models import arcface, scrfd
+    from facerecognizeonnx_tpu.parallel.sharded_ops import (
+        sharded_frames_to_features,
+    )
+    from facerecognizeonnx_tpu.pipeline.fused import frames_to_features
+    from facerecognizeonnx_tpu.utils.hostinit import init_on_host
+
+    size = 128
+    cfg = PipelineConfig(
+        det_input_size=size, compute_dtype="float32", pre_nms_topk=64,
+        max_faces=16,
+    )
+    det = init_on_host(lambda: scrfd.init_params(jax.random.PRNGKey(0)))
+    arc = init_on_host(
+        lambda: arcface.init_params(jax.random.PRNGKey(1), arch="iresnet18")
+    )
+    frames = rng.integers(0, 256, (3, size, size, 3)).astype(np.uint8)  # pads to 8
+
+    dets_s, feats_s = sharded_frames_to_features(
+        det, arc, frames, cfg, max_faces_embed=4
+    )
+    dets_l, feats_l = jax.jit(
+        lambda v: frames_to_features(det, arc, v, cfg, max_faces_embed=4)
+    )(jnp.asarray(frames))
+
+    np.testing.assert_array_equal(
+        np.asarray(dets_s.valid), np.asarray(dets_l.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(dets_s.boxes), np.asarray(dets_l.boxes), atol=1e-3
+    )
+    assert np.asarray(feats_s).shape == (3, 4, 512)
+    np.testing.assert_allclose(
+        np.asarray(feats_s), np.asarray(feats_l), atol=2e-3
+    )
