@@ -54,7 +54,7 @@ def main():
     ap.add_argument(
         "--config",
         default="all",
-        choices=["headline", "enroll", "gallery", "video", "all"],
+        choices=["headline", "headline_mbf", "enroll", "gallery", "video", "all"],
         help="BASELINE.json config to run; 'all' (default) runs the four "
         "configs and reports headline as the top-level metric",
     )
@@ -97,8 +97,22 @@ def main():
     )
     log(f"init {time.time() - t0:.1f}s")
 
+    def bench_headline_mbf():
+        """Same fused pipeline with the w600k_mbf-class recognizer
+        (models/mobilefacenet.py) — the fast buffalo_s/sc family member;
+        labeled separately, never the headline metric."""
+        from facerecognizeonnx_tpu.models import mobilefacenet as mbf
+
+        mbf_params = init_on_host(
+            lambda: mbf.fold_inference_params(mbf.init_params(jax.random.PRNGKey(2)))
+        )
+        out = bench_headline(args, cfg, det_params, mbf_params, log)
+        out["metric"] = "faces/sec/chip end-to-end (detect+align+mbf embed)"
+        return out
+
     runners = {
         "headline": lambda: bench_headline(args, cfg, det_params, arc_params, log),
+        "headline_mbf": bench_headline_mbf,
         "enroll": lambda: bench_enroll(args, cfg, arc_params, log),
         "gallery": lambda: bench_gallery(args, log),
         "video": lambda: bench_video(args, cfg, det_params, arc_params, log),
@@ -108,7 +122,7 @@ def main():
         return
 
     results = {}
-    for name in ("headline", "enroll", "gallery", "video"):
+    for name in ("headline", "headline_mbf", "enroll", "gallery", "video"):
         t0 = time.time()
         try:
             results[name] = runners[name]()

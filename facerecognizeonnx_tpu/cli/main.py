@@ -48,7 +48,10 @@ def _cfg(args) -> PipelineConfig:
     from facerecognizeonnx_tpu.config import auto_config
 
     return auto_config(
-        detector_weights=args.det_model, recognizer_weights=args.rec_model
+        detector_weights=args.det_model,
+        recognizer_weights=args.rec_model,
+        rec_arch=getattr(args, "rec_arch", "iresnet50"),
+        scrfd_variant=getattr(args, "det_variant", "500m"),
     )
 
 
@@ -296,6 +299,19 @@ def main(argv=None):
     parser.add_argument("--det-model", default=None, help=".npz/.onnx detector weights")
     parser.add_argument("--rec-model", default=None, help=".npz/.onnx recognizer weights")
     parser.add_argument("--gallery", default="gallery.npz")
+    parser.add_argument(
+        "--rec-arch",
+        default="iresnet50",
+        choices=["iresnet18", "iresnet34", "iresnet50", "iresnet100",
+                 "mbf", "mbf_large"],
+        help="recognizer family member (w600k_r50=iresnet50, w600k_mbf=mbf)",
+    )
+    parser.add_argument(
+        "--det-variant",
+        default="500m",
+        choices=["500m", "2.5g", "10g", "500m_s2d", "tpu"],
+        help="SCRFD detector family member (det_500m default)",
+    )
     parser.add_argument(
         "--sharded",
         action="store_true",
