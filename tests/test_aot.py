@@ -1,0 +1,59 @@
+"""AOT export/load of the fused pipeline (pipeline/aot.py)."""
+
+import jax
+import numpy as np
+import pytest
+
+from facerecognizeonnx_tpu.config import PipelineConfig
+from facerecognizeonnx_tpu.models import arcface, scrfd
+from facerecognizeonnx_tpu.pipeline.aot import load_fused, save_fused
+from facerecognizeonnx_tpu.utils.hostinit import init_on_host
+
+SIZE = 128
+CFG = PipelineConfig(
+    det_input_size=SIZE, compute_dtype="float32", pre_nms_topk=64,
+    max_faces=16,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    det = init_on_host(lambda: scrfd.init_params(jax.random.PRNGKey(0)))
+    arc = init_on_host(
+        lambda: arcface.init_params(jax.random.PRNGKey(1), arch="iresnet18")
+    )
+    return det, arc
+
+
+def test_roundtrip_matches_live_program(params, tmp_path, rng):
+    from facerecognizeonnx_tpu.pipeline.fused import frames_to_features
+
+    det, arc = params
+    path = str(tmp_path / "fused.jaxexport")
+    save_fused(path, det, arc, CFG, batch=2, max_faces_embed=4)
+
+    fn = load_fused(path)
+    frames = rng.integers(0, 256, (2, SIZE, SIZE, 3)).astype(np.uint8)
+    boxes, scores, kps, valid, feats = fn(frames)
+
+    dets_live, feats_live = jax.jit(
+        lambda v: frames_to_features(det, arc, v, CFG, max_faces_embed=4)
+    )(frames)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(dets_live.valid))
+    np.testing.assert_allclose(
+        np.asarray(feats), np.asarray(feats_live), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(boxes), np.asarray(dets_live.boxes), atol=1e-3
+    )
+
+
+def test_load_rejects_garbage(tmp_path):
+    from facerecognizeonnx_tpu.errors import ModelLoadError
+
+    p = tmp_path / "junk.jaxexport"
+    p.write_bytes(b"not an artifact")
+    with pytest.raises(ModelLoadError):
+        load_fused(str(p))
+    with pytest.raises(ModelLoadError):
+        load_fused(str(tmp_path / "missing.jaxexport"))
