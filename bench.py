@@ -54,7 +54,10 @@ def main():
     ap.add_argument(
         "--config",
         default="all",
-        choices=["headline", "headline_mbf", "enroll", "gallery", "video", "all"],
+        choices=[
+            "headline", "headline_mbf", "headline_q8", "enroll", "gallery",
+            "video", "all",
+        ],
         help="BASELINE.json config to run; 'all' (default) runs the four "
         "configs and reports headline as the top-level metric",
     )
@@ -110,9 +113,36 @@ def main():
         out["metric"] = "faces/sec/chip end-to-end (detect+align+mbf embed)"
         return out
 
+    def bench_headline_q8():
+        """Fused pipeline with the w8a8-quantized r50 recognizer
+        (models/quant.py): int8 MXU convs at 2x bf16 peak + half the
+        activation HBM traffic. Optional deployment config — the bf16
+        headline stays the parity-bearing metric."""
+        from facerecognizeonnx_tpu.models import quant
+
+        rng = np.random.default_rng(3)
+        calib = jnp.asarray(
+            (rng.integers(0, 256, (64, 112, 112, 3)).astype(np.float32) - 127.5)
+            / 128.0
+        )
+        # calibration as ONE jitted program (eager would be ~110 tunnel
+        # round-trips on the axon backend)
+        # min_channels=128: selective int8 — only the wide convs where
+        # v5e int8 measures faster than bf16 (tools/exp_int8_conv.py)
+        qstate = jax.jit(
+            lambda p, c: quant.quantize_recognizer(
+                arcface.apply, p, c, min_channels=128
+            )
+        )(arc_params, calib)
+        rec = quant.QuantizedRecognizer(arcface.apply, arc_params, qstate)
+        out = bench_headline(args, cfg, det_params, rec, log)
+        out["metric"] = "faces/sec/chip end-to-end (detect+align+int8 embed)"
+        return out
+
     runners = {
         "headline": lambda: bench_headline(args, cfg, det_params, arc_params, log),
         "headline_mbf": bench_headline_mbf,
+        "headline_q8": bench_headline_q8,
         "enroll": lambda: bench_enroll(args, cfg, arc_params, log),
         "gallery": lambda: bench_gallery(args, log),
         "video": lambda: bench_video(args, cfg, det_params, arc_params, log),
@@ -122,7 +152,9 @@ def main():
         return
 
     results = {}
-    for name in ("headline", "headline_mbf", "enroll", "gallery", "video"):
+    for name in (
+        "headline", "headline_mbf", "headline_q8", "enroll", "gallery", "video",
+    ):
         t0 = time.time()
         try:
             results[name] = runners[name]()

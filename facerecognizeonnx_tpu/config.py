@@ -39,6 +39,12 @@ class PipelineConfig:
     # mbf|mbf_large (w600k_mbf, the buffalo_s/sc pack recognizer).
     rec_arch: str = "iresnet50"
 
+    # w8a8 int8 PTQ for the recognizer ("none" | "w8a8"): int8 MXU convs
+    # at 2x bf16 peak + half the activation HBM traffic (models/quant.py).
+    # Optional: the 1e-3-cosine parity contract applies to the default
+    # bf16 path only.
+    recognizer_quant: str = "none"
+
     # --- matching (reference: src/main.cpp:118, src/face_recognizer.cpp:333)
     match_threshold: float = 0.6  # on the (cos+1)/2 scale
 

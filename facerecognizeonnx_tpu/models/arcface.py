@@ -81,22 +81,22 @@ def init_params(
     return params
 
 
-def _block_apply(p, x, stride, compute_dtype, train, stats_out):
+def _block_apply(p, x, stride, compute_dtype, train, stats_out, conv_fn):
     # Post-conv BNs (bn2/bn3/down_bn) may be folded into the conv weights
     # by fold_inference_params(); bn1 is PRE-conv and always present.
     out, s = L.batch_norm(p["bn1"], x, train)
     _collect(stats_out, "bn1", s)
-    out = L.conv2d(p["conv1"], out, 1, 1, compute_dtype=compute_dtype)
+    out = conv_fn(p["conv1"], out, 1, 1, compute_dtype=compute_dtype)
     if "bn2" in p:
         out, s = L.batch_norm(p["bn2"], out, train)
         _collect(stats_out, "bn2", s)
     out = L.prelu(p["prelu"], out)
-    out = L.conv2d(p["conv2"], out, stride, 1, compute_dtype=compute_dtype)
+    out = conv_fn(p["conv2"], out, stride, 1, compute_dtype=compute_dtype)
     if "bn3" in p:
         out, s = L.batch_norm(p["bn3"], out, train)
         _collect(stats_out, "bn3", s)
     if "down_conv" in p:
-        identity = L.conv2d(p["down_conv"], x, stride, 0, compute_dtype=compute_dtype)
+        identity = conv_fn(p["down_conv"], x, stride, 0, compute_dtype=compute_dtype)
         if "down_bn" in p:
             identity, s = L.batch_norm(p["down_bn"], identity, train)
             _collect(stats_out, "down_bn", s)
@@ -115,12 +115,21 @@ def apply(
     x: jnp.ndarray,
     compute_dtype=jnp.float32,
     train: bool = False,
+    conv_fn=None,
+    linear_fn=None,
 ) -> jnp.ndarray | Tuple[jnp.ndarray, Dict]:
     """Forward pass. x: (B, S, S, 3) normalized [-1, 1] RGB, NHWC.
 
     Returns (B, 512) float32 features; with train=True also returns the
     dict of per-BN batch stats for running-average updates.
+
+    conv_fn/linear_fn override the conv/FC ops (same signatures as
+    layers.conv2d/linear). models/quant.py uses these hooks to run the
+    SAME topology with int8 convs and to record calibration scales —
+    the architecture is defined once, here.
     """
+    conv_fn = conv_fn or L.conv2d
+    linear_fn = linear_fn or L.linear
     x = x.astype(compute_dtype)
     all_stats: Dict = {} if train else None
 
@@ -129,7 +138,7 @@ def apply(
         _collect(all_stats, name_path, s)
         return y
 
-    out = L.conv2d(params["conv1"], x, 1, 1, compute_dtype=compute_dtype)
+    out = conv_fn(params["conv1"], x, 1, 1, compute_dtype=compute_dtype)
     if "bn1" in params:  # folded into conv1 by fold_inference_params()
         out = bn("bn1", params["bn1"], out)
     out = L.prelu(params["prelu1"], out)
@@ -138,7 +147,7 @@ def apply(
         for b, block in enumerate(params[f"layer{s}"]):
             stride = 2 if b == 0 else 1
             sub = {} if train else None
-            out = _block_apply(block, out, stride, compute_dtype, train, sub)
+            out = _block_apply(block, out, stride, compute_dtype, train, sub, conv_fn)
             if train:
                 for k, v in sub.items():
                     all_stats[f"layer{s}/{b}/{k}"] = v
@@ -148,7 +157,7 @@ def apply(
     # weight rows accordingly so numerics match (onnx_import/importer.py).
     b_ = out.shape[0]
     out = out.reshape(b_, -1)
-    out = L.linear(params["fc"], out, compute_dtype=compute_dtype)
+    out = linear_fn(params["fc"], out, compute_dtype=compute_dtype)
     if "features_bn" in params:  # folded into fc by fold_inference_params()
         out = bn("features_bn", params["features_bn"], out)
     out = out.astype(jnp.float32)

@@ -139,13 +139,21 @@ def apply(
     x: jnp.ndarray,
     compute_dtype=jnp.float32,
     train: bool = False,
+    conv_fn=None,
+    linear_fn=None,
 ):
     """Forward pass. x: (B, S, S, 3) normalized [-1, 1] RGB, NHWC.
 
     Returns (B, 512) float32 features; with train=True also returns the
     dict of per-BN batch stats (keys like "body/3/dw_bn") for
     layers.update_bn_stats.
+
+    conv_fn/linear_fn override the conv/FC ops (models/quant.py hooks;
+    grouped/depthwise convs are passed groups= and stay unquantized
+    there — they are VPU-bound).
     """
+    conv_fn = conv_fn or L.conv2d
+    linear_fn = linear_fn or L.linear
     x = x.astype(compute_dtype)
     all_stats: Dict = {} if train else None
     blocks, scale = MBF_SPECS[_arch_of(params)]
@@ -160,37 +168,37 @@ def apply(
         return y
 
     p = params["stem"]
-    out = L.conv2d(p["conv"], x, 2, 1, compute_dtype=compute_dtype)
+    out = conv_fn(p["conv"], x, 2, 1, compute_dtype=compute_dtype)
     out = bn("stem/bn", p, "bn", out)
     out = L.prelu(p["prelu"], out)
 
     p = params["stem_dw"]
-    out = L.conv2d(p["conv"], out, 1, 1, groups=64, compute_dtype=compute_dtype)
+    out = conv_fn(p["conv"], out, 1, 1, groups=64, compute_dtype=compute_dtype)
     out = bn("stem_dw/bn", p, "bn", out)
     out = L.prelu(p["prelu"], out)
 
     for i, ((_cin, _cout, g, stride), blk) in enumerate(zip(plan, params["body"])):
-        y = L.conv2d(blk["pw1"], out, 1, 0, compute_dtype=compute_dtype)
+        y = conv_fn(blk["pw1"], out, 1, 0, compute_dtype=compute_dtype)
         y = bn(f"body/{i}/pw1_bn", blk, "pw1_bn", y)
         y = L.prelu(blk["pw1_prelu"], y)
-        y = L.conv2d(blk["dw"], y, stride, 1, groups=g, compute_dtype=compute_dtype)
+        y = conv_fn(blk["dw"], y, stride, 1, groups=g, compute_dtype=compute_dtype)
         y = bn(f"body/{i}/dw_bn", blk, "dw_bn", y)
         y = L.prelu(blk["dw_prelu"], y)
-        y = L.conv2d(blk["pw2"], y, 1, 0, compute_dtype=compute_dtype)
+        y = conv_fn(blk["pw2"], y, 1, 0, compute_dtype=compute_dtype)
         y = bn(f"body/{i}/pw2_bn", blk, "pw2_bn", y)
         out = out + y if stride == 1 else y  # residual only at stride 1
 
     p = params["conv_sep"]
-    out = L.conv2d(p["conv"], out, 1, 0, compute_dtype=compute_dtype)
+    out = conv_fn(p["conv"], out, 1, 0, compute_dtype=compute_dtype)
     out = bn("conv_sep/bn", p, "bn", out)
     out = L.prelu(p["prelu"], out)
 
     p = params["gdc_dw"]
-    out = L.conv2d(p["conv"], out, 1, 0, groups=512, compute_dtype=compute_dtype)
+    out = conv_fn(p["conv"], out, 1, 0, groups=512, compute_dtype=compute_dtype)
     out = bn("gdc_dw/bn", p, "bn", out)
 
     out = out.reshape(out.shape[0], -1)  # (B, 1, 1, 512) → (B, 512)
-    out = L.linear(params["fc"], out, compute_dtype=compute_dtype)
+    out = linear_fn(params["fc"], out, compute_dtype=compute_dtype)
     out = bn("features_bn", params, "features_bn", out)
     out = out.astype(jnp.float32)
     return (out, all_stats) if train else out

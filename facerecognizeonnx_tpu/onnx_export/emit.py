@@ -1,0 +1,182 @@
+"""Export native recognizer params to ONNX (torch-export-shaped).
+
+The inverse of onnx_import/native_map.py: forward-execution node order,
+OIHW weights, CHW-flatten Gemm — byte-layout compatible with what
+torch.onnx produces for the InsightFace w600k family, so the exported
+file loads back through this framework's own importer (round-trip
+tested) AND through stock ONNX Runtime in an existing reference
+deployment (reference src/face_recognizer.cpp:21-91 loadModel).
+
+Export UNFOLDED params (BNs intact): the graphs carry explicit
+BatchNormalization nodes exactly like the published w600k files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from facerecognizeonnx_tpu.models.arcface import IRESNET_SPECS
+from facerecognizeonnx_tpu.onnx_export import writer as W
+
+
+class _Emitter:
+    def __init__(self):
+        self.nodes = []
+        self.inits = []
+        self.n = 0
+
+    def name(self, tag_):
+        self.n += 1
+        return f"{tag_}_{self.n}"
+
+    def conv(self, x, p, stride, pad, groups=1):
+        out = self.name("conv")
+        w = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))  # HWIO→OIHW
+        wn = out + "_w"
+        self.inits.append(W.tensor(wn, np.ascontiguousarray(w)))
+        inputs = [x, wn]
+        if "b" in p:
+            bn_ = out + "_b"
+            self.inits.append(W.tensor(bn_, np.asarray(p["b"])))
+            inputs.append(bn_)
+        kh = w.shape[2]
+        attrs = dict(strides=[stride, stride], pads=[pad] * 4,
+                     kernel_shape=[kh, kh])
+        if groups != 1:  # torch exports group=1 implicitly otherwise
+            attrs["group"] = groups
+        self.nodes.append(W.node("Conv", inputs, [out], **attrs))
+        return out
+
+    def bn(self, x, p):
+        out = self.name("bn")
+        names = []
+        for suffix, key in (("_g", "scale"), ("_b", "bias"), ("_m", "mean"), ("_v", "var")):
+            nm = out + suffix
+            self.inits.append(W.tensor(nm, np.asarray(p[key])))
+            names.append(nm)
+        self.nodes.append(
+            W.node("BatchNormalization", [x] + names, [out], epsilon=1e-5)
+        )
+        return out
+
+    def prelu(self, x, p):
+        out = self.name("prelu")
+        nm = out + "_s"
+        # torch exports slope as (C, 1, 1)
+        self.inits.append(
+            W.tensor(nm, np.asarray(p["alpha"]).reshape(-1, 1, 1))
+        )
+        self.nodes.append(W.node("PRelu", [x, nm], [out]))
+        return out
+
+
+def emit_iresnet_onnx(params, arch: str, input_size: int) -> bytes:
+    blocks, widths = IRESNET_SPECS[arch]
+    e = _Emitter()
+    x = e.conv("input", params["conv1"], 1, 1)
+    x = e.bn(x, params["bn1"])
+    x = e.prelu(x, params["prelu1"])
+    for s, n in enumerate(blocks, start=1):
+        for b in range(n):
+            blk = params[f"layer{s}"][b]
+            stride = 2 if b == 0 else 1
+            identity = x
+            out = e.bn(x, blk["bn1"])
+            out = e.conv(out, blk["conv1"], 1, 1)
+            out = e.bn(out, blk["bn2"])
+            out = e.prelu(out, blk["prelu"])
+            out = e.conv(out, blk["conv2"], stride, 1)
+            out = e.bn(out, blk["bn3"])
+            if "down_conv" in blk:
+                identity = e.conv(x, blk["down_conv"], stride, 0)
+                identity = e.bn(identity, blk["down_bn"])
+            summed = e.name("add")
+            e.nodes.append(W.node("Add", [out, identity], [summed]))
+            x = summed
+    x = e.bn(x, params["bn2"])
+    flat = e.name("flatten")
+    e.nodes.append(W.node("Flatten", [x], [flat], axis=1))
+    # native fc: (in_hwc, out) → onnx Gemm transB=1 weight (out, in_chw)
+    spatial = input_size // 16
+    c = widths[-1]
+    w_native = np.asarray(params["fc"]["w"])  # (in_hwc, out)
+    out_dim = w_native.shape[1]
+    w = w_native.T.reshape(out_dim, spatial, spatial, c)
+    w = np.transpose(w, (0, 3, 1, 2)).reshape(out_dim, -1)
+    e.inits.append(W.tensor("fc_w", np.ascontiguousarray(w)))
+    e.inits.append(W.tensor("fc_b", np.asarray(params["fc"]["b"])))
+    gemm_out = e.name("gemm")
+    e.nodes.append(
+        W.node("Gemm", [flat, "fc_w", "fc_b"], [gemm_out],
+               alpha=1.0, beta=1.0, transB=1)
+    )
+    feat = e.bn(gemm_out, params["features_bn"])
+    g = W.graph(
+        e.nodes, e.inits,
+        [("input", [1, 3, input_size, input_size])],
+        [(feat, [1, out_dim])],
+    )
+    return W.model(g)
+
+
+
+
+
+from facerecognizeonnx_tpu.models.mobilefacenet import MBF_SPECS, _body_plan
+from facerecognizeonnx_tpu.onnx_export import writer as W
+
+
+def emit_mobilefacenet_onnx(params, input_size: int = 112) -> bytes:
+    blocks, scale = next(
+        (b, s)
+        for b, s in MBF_SPECS.values()
+        if len(_body_plan(b, s)) == len(params["body"])
+    )
+    plan = _body_plan(blocks, scale)
+    e = _Emitter()
+
+    def cbp(x, p, stride=1, pad=0, groups=1):
+        x = e.conv(x, p["conv"], stride, pad, groups=groups)
+        x = e.bn(x, p["bn"])
+        return e.prelu(x, p["prelu"])
+
+    x = cbp("input", params["stem"], 2, 1)
+    x = cbp(x, params["stem_dw"], 1, 1, groups=64)
+    for (_cin, _cout, g, stride), blk in zip(plan, params["body"]):
+        y = e.conv(x, blk["pw1"], 1, 0)
+        y = e.bn(y, blk["pw1_bn"])
+        y = e.prelu(y, blk["pw1_prelu"])
+        y = e.conv(y, blk["dw"], stride, 1, groups=g)
+        y = e.bn(y, blk["dw_bn"])
+        y = e.prelu(y, blk["dw_prelu"])
+        y = e.conv(y, blk["pw2"], 1, 0)
+        y = e.bn(y, blk["pw2_bn"])
+        if stride == 1:
+            summed = e.name("add")
+            e.nodes.append(W.node("Add", [x, y], [summed]))
+            x = summed
+        else:
+            x = y
+    x = cbp(x, params["conv_sep"], 1, 0)
+    x = e.conv(x, params["gdc_dw"]["conv"], 1, 0, groups=512)
+    x = e.bn(x, params["gdc_dw"]["bn"])
+
+    flat = e.name("flatten")
+    e.nodes.append(W.node("Flatten", [x], [flat], axis=1))
+    # GDC output is (B, 512, 1, 1) → CHW flatten == channel order, so the
+    # native (512, out) FC transposes directly to Gemm transB weight
+    w_native = np.asarray(params["fc"]["w"])  # (512, out)
+    out_dim = w_native.shape[1]
+    e.inits.append(W.tensor("fc_w", np.ascontiguousarray(w_native.T)))
+    gemm_out = e.name("gemm")
+    e.nodes.append(
+        W.node("Gemm", [flat, "fc_w"], [gemm_out], alpha=1.0, beta=1.0,
+               transB=1)
+    )
+    feat = e.bn(gemm_out, params["features_bn"])
+    g = W.graph(
+        e.nodes, e.inits,
+        [("input", [1, 3, input_size, input_size])],
+        [(feat, [1, out_dim])],
+    )
+    return W.model(g)

@@ -212,9 +212,55 @@ class FaceRecognizer:
         self.params = params
         print("Face recognizer model loaded successfully!")
         print(f"Using input size: {self.cfg.rec_input_size}x{self.cfg.rec_input_size}")
+        if self.cfg.recognizer_quant == "w8a8":
+            self.quantize()
         return True
 
     loadModel = load_model
+
+    def quantize(
+        self,
+        calib_crops: Optional[np.ndarray] = None,
+        min_channels: int = 0,
+    ) -> bool:
+        """Switch the loaded recognizer to w8a8 int8 (models/quant.py).
+
+        calib_crops: (N, S, S, 3) uint8 BGR aligned crops for activation
+        calibration — pass real enrollment crops for best fidelity;
+        defaults to synthetic noise (fine for benchmarking, adequate for
+        the conservatively-clipped symmetric scheme). min_channels=128
+        quantizes only the wide convs where v5e int8 measures faster
+        than bf16. No-op False when no native params are loaded
+        (OnnxRunner graphs are not quantized).
+        """
+        if self.params is None:
+            print("Model not loaded!")
+            return False
+        if hasattr(self.params, "apply"):
+            print("Quantization needs native model params (not an ONNX graph)")
+            return False
+        from facerecognizeonnx_tpu.models import quant, recognizer_module_for
+        from facerecognizeonnx_tpu.ops.image import normalize_to_rgb
+
+        mod = recognizer_module_for(self.params)
+        s = self.cfg.rec_input_size
+        if calib_crops is None:
+            rng = np.random.default_rng(self.cfg.seed)
+            calib_crops = rng.integers(0, 256, (64, s, s, 3)).astype(np.uint8)
+        x = normalize_to_rgb(
+            jnp.asarray(calib_crops), self.cfg.pixel_mean, self.cfg.pixel_scale,
+            dtype=jnp.dtype(self.cfg.compute_dtype),
+        )
+        # one jitted program, not ~110 eager dispatches over the tunnel
+        qstate = jax.jit(
+            lambda p, c: quant.quantize_recognizer(
+                mod.apply, p, c, min_channels=min_channels
+            )
+        )(self.params, x)
+        self.params = quant.QuantizedRecognizer(mod.apply, self.params, qstate)
+        self._jit_cache.clear()
+        print("Recognizer quantized to w8a8 int8")
+        return True
 
     def extract_feature(self, image: np.ndarray, face: FaceBox) -> np.ndarray:
         """Aligned 512-d L2-normalized feature for one face.

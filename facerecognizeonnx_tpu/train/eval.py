@@ -110,3 +110,89 @@ def evaluate_pairs(
     out.update({f"tar_at_far_{far:g}": tar_at_far(sims, same, far)["tar"]
                 for far in (1e-2, 1e-3)})
     return out
+
+
+# ------------------------------------------- detection evaluation (mAP)
+
+
+def box_iou_matrix(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """(N, 4) x (M, 4) xyxy boxes → (N, M) IoU (float, area-normalized).
+
+    Float IoU — the DETECTION-QUALITY metric; the device NMS's
+    integer-truncated IoU mode exists only to reproduce reference
+    survivor sets (reference src/face_detector.cpp:340-354), not for
+    scoring.
+    """
+    a = np.asarray(boxes_a, np.float32)[:, None, :]  # (N, 1, 4)
+    b = np.asarray(boxes_b, np.float32)[None, :, :]  # (1, M, 4)
+    ix = np.maximum(
+        0.0, np.minimum(a[..., 2], b[..., 2]) - np.maximum(a[..., 0], b[..., 0])
+    )
+    iy = np.maximum(
+        0.0, np.minimum(a[..., 3], b[..., 3]) - np.maximum(a[..., 1], b[..., 1])
+    )
+    inter = ix * iy
+    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    union = np.maximum(area_a + area_b - inter, 1e-12)
+    return inter / union
+
+
+def detection_average_precision(
+    detections: Sequence[Dict],
+    iou_threshold: float = 0.5,
+) -> Dict[str, float]:
+    """WIDER-style AP@IoU for face detection over a set of images.
+
+    detections: per image, {"boxes": (N, 4) xyxy predicted,
+    "scores": (N,), "gt": (M, 4) xyxy ground truth}. Greedy one-to-one
+    matching in global score order (the standard VOC/WIDER protocol:
+    each GT matches at most one prediction; duplicates are false
+    positives). Returns AP (area under the interpolated PR curve),
+    precision/recall at the end of the sweep, and counts.
+
+    The BASELINE "detection mAP parity" check runs this over the same
+    fixtures with the reference decode oracle's boxes as GT
+    (tests/test_eval.py).
+    """
+    rows = []  # (score, is_tp) in global score order
+    n_gt = 0
+    for img in detections:
+        boxes = np.asarray(img["boxes"], np.float32).reshape(-1, 4)
+        scores = np.asarray(img["scores"], np.float32).reshape(-1)
+        gt = np.asarray(img["gt"], np.float32).reshape(-1, 4)
+        n_gt += len(gt)
+        order = np.argsort(-scores)
+        taken = np.zeros(len(gt), bool)
+        iou = box_iou_matrix(boxes, gt) if len(boxes) and len(gt) else None
+        for i in order:
+            tp = False
+            if iou is not None:
+                cand = np.where(~taken, iou[i], -1.0)
+                j = int(cand.argmax()) if len(cand) else -1
+                if j >= 0 and cand[j] >= iou_threshold:
+                    taken[j] = True
+                    tp = True
+            rows.append((float(scores[i]), tp))
+    if not rows or n_gt == 0:
+        return {"ap": 0.0, "precision": 0.0, "recall": 0.0, "n_gt": n_gt,
+                "n_det": len(rows)}
+    rows.sort(key=lambda r: -r[0])
+    tps = np.cumsum([r[1] for r in rows])
+    fps = np.cumsum([not r[1] for r in rows])
+    recall = tps / n_gt
+    precision = tps / np.maximum(tps + fps, 1)
+    # VOC-style interpolation: precision envelope, integrate over recall
+    prec_env = np.maximum.accumulate(precision[::-1])[::-1]
+    r_prev = 0.0
+    ap = 0.0
+    for r, p in zip(recall, prec_env):
+        ap += (r - r_prev) * p
+        r_prev = r
+    return {
+        "ap": float(ap),
+        "precision": float(precision[-1]),
+        "recall": float(recall[-1]),
+        "n_gt": int(n_gt),
+        "n_det": len(rows),
+    }

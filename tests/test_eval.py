@@ -81,3 +81,55 @@ def test_evaluate_pairs_end_to_end(rng):
     out = evaluate_pairs(embed_fn, base, imgs2, same, n_folds=4)
     assert set(out) >= {"accuracy", "best_threshold", "tar_at_far_0.01"}
     assert out["accuracy"] > 0.7  # toy embedding separates jittered copies
+
+
+# --------------------------------------------------- detection AP
+
+
+def test_box_iou_matrix_basic():
+    from facerecognizeonnx_tpu.train.eval import box_iou_matrix
+
+    a = np.array([[0, 0, 10, 10]], np.float32)
+    b = np.array([[0, 0, 10, 10], [5, 0, 15, 10], [20, 20, 30, 30]], np.float32)
+    iou = box_iou_matrix(a, b)[0]
+    assert abs(iou[0] - 1.0) < 1e-6
+    assert abs(iou[1] - (50.0 / 150.0)) < 1e-6
+    assert iou[2] == 0.0
+
+
+def test_detection_ap_perfect_and_misses():
+    from facerecognizeonnx_tpu.train.eval import detection_average_precision
+
+    gt = np.array([[0, 0, 10, 10], [20, 20, 40, 40]], np.float32)
+    perfect = [{"boxes": gt, "scores": np.array([0.9, 0.8]), "gt": gt}]
+    r = detection_average_precision(perfect)
+    assert r["ap"] == 1.0 and r["recall"] == 1.0 and r["n_gt"] == 2
+
+    # one hit + one duplicate (FP) + one miss
+    dets = [{
+        "boxes": np.array([[0, 0, 10, 10], [1, 1, 11, 11]], np.float32),
+        "scores": np.array([0.9, 0.8], np.float32),
+        "gt": gt,
+    }]
+    r = detection_average_precision(dets)
+    assert r["recall"] == 0.5  # second GT never matched
+    assert r["n_det"] == 2
+    assert 0.0 < r["ap"] <= 0.5
+
+    empty = detection_average_precision([{"boxes": np.zeros((0, 4)),
+                                          "scores": np.zeros(0), "gt": gt}])
+    assert empty["ap"] == 0.0
+
+
+def test_detection_ap_score_ordering_matters():
+    """A high-scoring FP before the TPs drags AP below precision@end."""
+    from facerecognizeonnx_tpu.train.eval import detection_average_precision
+
+    gt = np.array([[0, 0, 10, 10]], np.float32)
+    dets = [{
+        "boxes": np.array([[50, 50, 60, 60], [0, 0, 10, 10]], np.float32),
+        "scores": np.array([0.95, 0.9], np.float32),
+        "gt": gt,
+    }]
+    r = detection_average_precision(dets)
+    assert abs(r["ap"] - 0.5) < 1e-6  # TP arrives at rank 2 -> p=1/2 at r=1

@@ -1,0 +1,75 @@
+"""onnx_export public API: export → re-import round trips.
+
+The emitters themselves are exercised in depth by the importer suites
+(tests/test_native_map.py, tests/test_real_onnx_parity.py import THE
+SAME graphs via the oracle shims); here the public surface is pinned:
+dispatch, file writing, folded-params rejection, and a full
+export→import→cosine loop through the OTHER side of the codebase.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facerecognizeonnx_tpu import onnx_export
+from facerecognizeonnx_tpu.models import arcface, mobilefacenet
+
+
+def _x(n=2, key=0):
+    rng = np.random.default_rng(key)
+    return jnp.asarray(
+        (rng.integers(0, 256, (n, 112, 112, 3)).astype(np.float32) - 127.5) / 128.0
+    )
+
+
+def test_export_iresnet_roundtrip(tmp_path):
+    params = arcface.init_params(jax.random.PRNGKey(0), arch="iresnet18")
+    path = str(tmp_path / "w600k_r18.onnx")
+    data = onnx_export.export_recognizer(params, path)
+    assert open(path, "rb").read() == data and len(data) > 1_000_000
+
+    # back through the importer's native mapper (numerically self-verified)
+    from facerecognizeonnx_tpu.onnx_import.native_map import map_recognizer
+
+    mapped = map_recognizer(path, "iresnet18")
+    assert mapped is not None
+    x = _x()
+    want = arcface.apply(params, x)
+    got = arcface.apply(mapped, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_export_mbf_roundtrip_executor(tmp_path):
+    params = mobilefacenet.init_params(jax.random.PRNGKey(1), arch="mbf")
+    path = str(tmp_path / "w600k_mbf.onnx")
+    onnx_export.export_recognizer(params, path)
+
+    # back through the GENERIC graph executor (no native mapping)
+    from facerecognizeonnx_tpu.onnx_import.importer import load_onnx_params
+
+    runner = load_onnx_params(path)
+    x = _x(key=2)
+    want = np.asarray(mobilefacenet.apply(params, x))
+    got = np.asarray(runner.apply(x, jnp.float32))
+    cos = (want * got).sum(1) / (
+        np.linalg.norm(want, axis=1) * np.linalg.norm(got, axis=1)
+    )
+    assert cos.min() > 1.0 - 1e-5, cos
+
+
+def test_export_rejects_folded_params():
+    params = arcface.fold_inference_params(
+        arcface.init_params(jax.random.PRNGKey(2), arch="iresnet18")
+    )
+    with pytest.raises(ValueError, match="UNFOLDED"):
+        onnx_export.export_recognizer(params)
+
+
+def test_export_rejects_wrappers():
+    class FakeRunner:
+        def apply(self, x, d):  # pragma: no cover
+            return x
+
+    with pytest.raises(ValueError, match="native unfolded pytree"):
+        onnx_export.export_recognizer(FakeRunner())
