@@ -40,6 +40,11 @@ def _load_models(args):
     if not recognizer.load_model(args.rec_model):
         print(f"无法加载人脸识别模型: {args.rec_model}")
         sys.exit(-1)
+    quant = getattr(args, "quant", "none")
+    if quant != "none":
+        # w8a8 = full int8 (4x smaller weights); w8a8-fast = selective
+        # (wide convs only — the +14% throughput config, models/quant.py)
+        recognizer.quantize(min_channels=128 if quant == "w8a8-fast" else 0)
     print("\n所有模型加载成功!")
     return detector, recognizer
 
@@ -287,13 +292,39 @@ def mode_bench(args):
     mod.main()
 
 
+def mode_export(args):
+    """Serialize the recognizer back to a torch-export-shaped .onnx
+    (onnx_export/) loadable by the reference binary's ORT loadModel
+    (reference src/face_recognizer.cpp:21-91). Loads UNFOLDED weights —
+    the exported graph carries explicit BatchNormalization nodes like
+    the published w600k files."""
+    from facerecognizeonnx_tpu.models import recognizer_module
+    from facerecognizeonnx_tpu.onnx_export import export_recognizer
+    from facerecognizeonnx_tpu.pipeline.api import _load_weights
+
+    cfg = _cfg(args)
+    out = args.images[0]
+    arch_mod = recognizer_module(cfg.rec_arch)
+    params = _load_weights(
+        args.rec_model,
+        lambda key: arch_mod.init_params(
+            key, arch=cfg.rec_arch, input_size=cfg.rec_input_size,
+            feature_dim=cfg.feature_dim,
+        ),
+        cfg.seed + 1,
+    )
+    data = export_recognizer(params, out, input_size=cfg.rec_input_size)
+    print(f"已导出 ONNX 模型: {out} ({len(data) / 1e6:.1f} MB)")
+
+
 def main(argv=None):
     print("InsightFace TPU Demo - buffalo_sc 模型 (facerecognizeonnx_tpu)")
     print("========================================")
     parser = argparse.ArgumentParser(prog="facerecognizeonnx_tpu")
     parser.add_argument(
         "mode",
-        choices=["detect", "compare", "simple", "webcam", "enroll", "identify", "bench"],
+        choices=["detect", "compare", "simple", "webcam", "enroll", "identify",
+                 "bench", "export"],
     )
     parser.add_argument("images", nargs="*")
     parser.add_argument("--det-model", default=None, help=".npz/.onnx detector weights")
@@ -316,6 +347,13 @@ def main(argv=None):
         "--sharded",
         action="store_true",
         help="identify: shard the gallery over the device mesh",
+    )
+    parser.add_argument(
+        "--quant",
+        default="none",
+        choices=["none", "w8a8", "w8a8-fast"],
+        help="int8 recognizer: w8a8 = full (4x smaller), w8a8-fast = "
+        "selective wide-conv int8 (fastest on TPU)",
     )
     parser.add_argument("--show", action="store_true", help="open display windows")
     parser.add_argument(
@@ -345,8 +383,10 @@ def main(argv=None):
         "enroll": mode_enroll,
         "identify": mode_identify,
         "bench": mode_bench,
+        "export": mode_export,
     }
-    need = {"detect": 1, "compare": 2, "simple": 2, "webcam": 0, "enroll": 1, "identify": 1, "bench": 0}
+    need = {"detect": 1, "compare": 2, "simple": 2, "webcam": 0, "enroll": 1,
+            "identify": 1, "bench": 0, "export": 1}
     if len(args.images) < need[args.mode]:
         print("无效的命令或参数")
         return -1

@@ -91,7 +91,8 @@ def build_pyramid_cf(frames_u8: jnp.ndarray) -> jnp.ndarray:
     return pyr
 
 
-def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem):
+def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem,
+            xpass_bf16=False):
     """grid = (N,): one step per face.
 
     DMA is double-buffered ACROSS faces: face f's compute overlaps face
@@ -162,15 +163,31 @@ def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem):
         lx = jnp.clip(lx, -2.0, WIN_X + 1.0)
         ly = jnp.clip(ly, -2.0, WIN_Y + 1.0)
         yw = jnp.maximum(0.0, 1.0 - jnp.abs(ly - ry)).astype(jnp.bfloat16)
-        xw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - rx)).astype(jnp.float32)
 
         # ONE matmul for all 3 channels (windows laid side-by-side)
-        t = jnp.dot(
-            yw, win_scr[slot], preferred_element_type=jnp.float32
-        )  # (PIX, 3*WIN_X)
-        for c in range(3):
-            t_c = t[:, c * WIN_X : (c + 1) * WIN_X]
-            out_ref[0, c, pl.ds(chunk * PIX, PIX)] = jnp.sum(t_c * xw, axis=1)
+        if xpass_bf16:
+            # v4a: the whole x-pass in bf16 — packed 2/vreg on the VPU,
+            # halving the dominant multiply+reduce width. Exactness: each
+            # xw row has ≤2 nonzero hat weights, so the bf16 "sum" adds
+            # two products of u8-valued pixels — error ≤1 intensity LSB,
+            # same bound the bf16 hat weights already imply.
+            xw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - rx)).astype(jnp.bfloat16)
+            t = jnp.dot(
+                yw, win_scr[slot], preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+            for c in range(3):
+                t_c = t[:, c * WIN_X : (c + 1) * WIN_X]
+                out_ref[0, c, pl.ds(chunk * PIX, PIX)] = jnp.sum(
+                    t_c * xw, axis=1
+                ).astype(jnp.float32)
+        else:
+            xw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - rx)).astype(jnp.float32)
+            t = jnp.dot(
+                yw, win_scr[slot], preferred_element_type=jnp.float32
+            )  # (PIX, 3*WIN_X)
+            for c in range(3):
+                t_c = t[:, c * WIN_X : (c + 1) * WIN_X]
+                out_ref[0, c, pl.ds(chunk * PIX, PIX)] = jnp.sum(t_c * xw, axis=1)
         return 0
 
     lax.fori_loop(0, CHUNKS, chunk_body, 0)
@@ -182,6 +199,7 @@ def warp_affine_pallas(
     Ms: jnp.ndarray,
     out_size: int = OUT,
     interpret: bool = False,
+    xpass_bf16: bool = False,
 ) -> jnp.ndarray:
     """(B, H, W, 3) u8 + (B, K, 2, 3) forward affines →
     (B, K, out, out, 3) f32 BGR (zero border)."""
@@ -270,7 +288,7 @@ def warp_affine_pallas(
         ],
     )
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, xpass_bf16=xpass_bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, 4, CHUNKS * PIX), jnp.float32),
         interpret=interpret,

@@ -72,3 +72,26 @@ def test_enroll_and_identify(jpegs, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "人脸 1:" in out
+
+
+def test_export_mode_writes_onnx(tmp_path, capsys):
+    out = str(tmp_path / "exported_r18.onnx")
+    rc = main(["export", out, "--rec-arch", "iresnet18"])
+    assert rc == 0
+    assert "已导出 ONNX 模型" in capsys.readouterr().out
+    import os
+
+    assert os.path.getsize(out) > 1_000_000
+    # the exported file loads back through the importer's native mapper
+    from facerecognizeonnx_tpu.onnx_import.native_map import map_recognizer
+
+    assert map_recognizer(out, "iresnet18") is not None
+
+
+def test_simple_mode_quantized(jpegs, capsys):
+    rc = main(["simple", jpegs[0], jpegs[1], "--rec-arch", "mbf",
+               "--quant", "w8a8-fast"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Recognizer quantized to w8a8 int8" in out
+    assert "特征维度: 512" in out

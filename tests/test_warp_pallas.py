@@ -87,3 +87,23 @@ def test_degenerate_matrix_safe():
     M = jnp.zeros((1, 1, 2, 3), jnp.float32)
     got = np.asarray(warp_affine_pallas(frames, M, interpret=True))
     assert np.isfinite(got).all()
+
+
+def test_xpass_bf16_within_lsb(rng):
+    """v4a bf16 x-pass stays within ~1 intensity LSB of the f32 pass
+    (each hat row has ≤2 nonzeros, so the bf16 sum adds two products of
+    u8-valued pixels — see the kernel comment)."""
+    frames = jnp.asarray(rng.integers(0, 256, (1, 640, 640, 3), dtype=np.uint8))
+    Ms = np.stack(
+        [
+            _face_matrix(rng, scale=0.6, theta=0.4, tx=250, ty=180),
+            _face_matrix(rng, scale=1.3, theta=-0.7, tx=380, ty=300),
+        ]
+    )[None]
+    f32 = np.asarray(warp_affine_pallas(frames, jnp.asarray(Ms), interpret=True))
+    bf = np.asarray(
+        warp_affine_pallas(frames, jnp.asarray(Ms), interpret=True, xpass_bf16=True)
+    )
+    d = np.abs(f32 - bf)
+    assert np.percentile(d, 99) <= 1.0, np.percentile(d, 99)
+    assert d.max() <= 2.5, d.max()
