@@ -285,27 +285,43 @@ def bench_gallery(args, log):
     from facerecognizeonnx_tpu.ops.pallas_gallery import (
         gallery_topk_pallas,
         gallery_topk_reference,
+        gallery_topk_tiled,
     )
 
     rng = np.random.default_rng(0)
     g = rng.normal(size=(100_000, 512)).astype(np.float32)
     g /= np.linalg.norm(g, axis=1, keepdims=True)
-    q = jnp.asarray(g[:128])
+    q0 = jnp.asarray(g[:128])
     g = jnp.asarray(g)
 
     results = {}
+    INNER = 20  # chained searches per dispatch: wall/INNER ≈ device time
     for name, fn in (
-        ("pallas_stream", lambda: gallery_topk_pallas(q, g, 5)),
-        ("xla_materialize", lambda: gallery_topk_reference(q, g, 5)),
+        ("xla_materialize", lambda q: gallery_topk_reference(q, g, 5)),
+        ("tiled512", lambda q: gallery_topk_tiled(q, g, 5, tile=512)),
+        ("pallas_stream", lambda q: gallery_topk_pallas(q, g, 5)),
     ):
         try:
-            jfn = jax.jit(lambda _=None, f=fn: f())
-            jax.block_until_ready(jfn())
+            # INNER chained top-k calls inside ONE program: chaining
+            # defeats axon's identical-execution elision AND the single
+            # dispatch amortizes the tunnel round-trip that otherwise
+            # dominates (per-dispatch timings mis-rank these methods by
+            # 2-8x — docs/PERFORMANCE.md).
+            def prog(q, f=fn):
+                def body(q, _):
+                    s, _i = f(q)
+                    return q + jnp.sum(s) * 1e-12, jnp.sum(s)
+                qf, ss = jax.lax.scan(body, q, None, length=INNER)
+                return ss[-1], qf
+            jfn = jax.jit(prog)
+            s, q = jfn(q0)
+            float(s)
             t0 = time.time()
-            for _ in range(10):
-                out = jfn()
-            jax.block_until_ready(out)
-            results[name] = 128 * 10 / (time.time() - t0)
+            outer = 3
+            for _ in range(outer):
+                s, q = jfn(q)
+            float(s)
+            results[name] = 128 * outer * INNER / (time.time() - t0)
         except Exception as e:  # pallas may be unsupported on cpu backend
             log(f"{name} failed: {e}")
     best = max(results.values()) if results else 0.0

@@ -78,8 +78,11 @@ class GalleryBank:
 
         sharded=True distributes gallery rows over the device mesh
         (parallel/sharded_ops.sharded_topk_search). method: "auto" uses
-        the streaming Pallas kernel on TPU for galleries too big to
-        materialize (ops/pallas_gallery.py), "pallas"/"xla" force."""
+        XLA materialize+top_k (fastest by scan-amortized device timing:
+        0.65 ms for Q=128 x G=100k on v5e — lax.top_k is NOT the
+        bottleneck it appears under per-dispatch timing), escalating to
+        the streaming Pallas kernel only when (Q, G) cannot
+        materialize; "tiled"/"pallas"/"xla" force a path."""
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
@@ -101,9 +104,7 @@ class GalleryBank:
             sims, idx = sharded_topk_search(queries, self._feats, top_k)
             sims, idx = np.asarray(sims), np.asarray(idx)
         elif method == "pallas" or (
-            # Measured on v5e: XLA materialize+top_k wins while the (Q, G)
-            # similarity matrix fits HBM comfortably (42k q/s vs 20k q/s at
-            # Q=128, G=100k); the streaming kernel is for when it doesn't.
+            # (Q, G) too big to materialize → stream tiles through VMEM
             method == "auto"
             and queries.shape[0] * len(self) > 2_000_000_000
             and _on_tpu()
@@ -116,6 +117,24 @@ class GalleryBank:
 
             sims, idx = gallery_topk_pallas(
                 jnp.asarray(queries), jnp.asarray(self._feats), top_k
+            )
+            sims, idx = np.asarray(sims), np.asarray(idx)
+        elif method == "tiled" and top_k <= 512:
+            # NEGATIVE result kept for completeness: scan-amortized
+            # device timing (Q=128, G=100k, v5e) measures tiled512 at
+            # 2.71 ms vs 0.65 ms for materialize+lax.top_k — XLA's
+            # top_k is already hierarchical internally; the explicit
+            # two-stage form only adds passes. (Per-dispatch timings
+            # that suggested otherwise were tunnel-noise artifacts —
+            # docs/PERFORMANCE.md "measurement discipline".)
+            import jax.numpy as jnp
+
+            from facerecognizeonnx_tpu.ops.pallas_gallery import (
+                gallery_topk_tiled,
+            )
+
+            sims, idx = gallery_topk_tiled(
+                jnp.asarray(queries), jnp.asarray(self._feats), top_k, tile=512
             )
             sims, idx = np.asarray(sims), np.asarray(idx)
         else:

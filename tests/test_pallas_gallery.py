@@ -40,3 +40,42 @@ def test_self_query_ranks_first(rng):
     s, i = gallery_topk_pallas(gallery[:3], gallery, 2, tile=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(i)[:, 0], [0, 1, 2])
     np.testing.assert_allclose(np.asarray(s)[:, 0], 1.0, atol=1e-5)
+
+
+def test_tiled_topk_exact_vs_reference(rng):
+    """Hierarchical tiled top-k is EXACT (same winners, same order)."""
+    from facerecognizeonnx_tpu.ops.pallas_gallery import (
+        gallery_topk_reference,
+        gallery_topk_tiled,
+    )
+
+    g = rng.normal(size=(1000, 64)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = jnp.asarray(g[:16])
+    s_ref, i_ref = gallery_topk_reference(q, jnp.asarray(g), 5)
+    for tile in (128, 256):  # non-divisible: 1000 % 128 != 0 → pad path
+        s, i = gallery_topk_tiled(q, jnp.asarray(g), 5, tile=tile)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-6)
+
+
+def test_tiled_topk_duplicate_heavy_tile(rng):
+    """Several of the true top-k packed into ONE tile still all surface
+    (the per-tile stage keeps k candidates per tile, not 1)."""
+    from facerecognizeonnx_tpu.ops.pallas_gallery import gallery_topk_tiled
+
+    g = rng.normal(size=(512, 32)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = g[7:8].copy()
+    # plant the 4 best matches inside one tile (rows 130..133)
+    for r, eps in zip(range(130, 134), (0.0, 0.01, 0.02, 0.03)):
+        v = q[0] + eps * g[r]
+        g[r] = v / np.linalg.norm(v)
+    from facerecognizeonnx_tpu.ops.pallas_gallery import gallery_topk_reference
+
+    s, i = gallery_topk_tiled(jnp.asarray(q), jnp.asarray(g), 5, tile=128)
+    s_ref, i_ref = gallery_topk_reference(jnp.asarray(q), jnp.asarray(g), 5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    # the packed tile supplies ≥3 of the 5 winners (row 7 is the query
+    # itself at similarity 1.0 and rightly leads)
+    assert len(set(np.asarray(i)[0].tolist()) & {130, 131, 132, 133}) >= 3
