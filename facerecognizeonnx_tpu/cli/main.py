@@ -298,22 +298,30 @@ def mode_export(args):
     (reference src/face_recognizer.cpp:21-91). Loads UNFOLDED weights —
     the exported graph carries explicit BatchNormalization nodes like
     the published w600k files."""
-    from facerecognizeonnx_tpu.models import recognizer_module
-    from facerecognizeonnx_tpu.onnx_export import export_recognizer
+    from facerecognizeonnx_tpu.models import recognizer_module, scrfd
+    from facerecognizeonnx_tpu.onnx_export import export_detector, export_recognizer
     from facerecognizeonnx_tpu.pipeline.api import _load_weights
 
     cfg = _cfg(args)
     out = args.images[0]
-    arch_mod = recognizer_module(cfg.rec_arch)
-    params = _load_weights(
-        args.rec_model,
-        lambda key: arch_mod.init_params(
-            key, arch=cfg.rec_arch, input_size=cfg.rec_input_size,
-            feature_dim=cfg.feature_dim,
-        ),
-        cfg.seed + 1,
-    )
-    data = export_recognizer(params, out, input_size=cfg.rec_input_size)
+    if args.detector:
+        params = _load_weights(
+            args.det_model,
+            lambda key: scrfd.init_params(key, variant=cfg.scrfd_variant),
+            cfg.seed,
+        )
+        data = export_detector(params, out, input_size=cfg.det_input_size)
+    else:
+        arch_mod = recognizer_module(cfg.rec_arch)
+        params = _load_weights(
+            args.rec_model,
+            lambda key: arch_mod.init_params(
+                key, arch=cfg.rec_arch, input_size=cfg.rec_input_size,
+                feature_dim=cfg.feature_dim,
+            ),
+            cfg.seed + 1,
+        )
+        data = export_recognizer(params, out, input_size=cfg.rec_input_size)
     print(f"已导出 ONNX 模型: {out} ({len(data) / 1e6:.1f} MB)")
 
 
@@ -354,6 +362,11 @@ def main(argv=None):
         choices=["none", "w8a8", "w8a8-fast"],
         help="int8 recognizer: w8a8 = full (4x smaller), w8a8-fast = "
         "selective wide-conv int8 (fastest on TPU)",
+    )
+    parser.add_argument(
+        "--detector",
+        action="store_true",
+        help="export: write the SCRFD detector instead of the recognizer",
     )
     parser.add_argument("--show", action="store_true", help="open display windows")
     parser.add_argument(

@@ -20,6 +20,7 @@ from typing import Dict, Optional
 from facerecognizeonnx_tpu.onnx_export.emit import (
     emit_iresnet_onnx,
     emit_mobilefacenet_onnx,
+    emit_scrfd_onnx,
 )
 
 
@@ -61,6 +62,28 @@ def export_recognizer(
         data = emit_iresnet_onnx(params, _iresnet_arch_of(params), input_size)
     else:
         raise ValueError("unrecognized recognizer param structure")
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data
+
+
+def export_detector(
+    params: Dict,
+    path: Optional[str] = None,
+    input_size: int = 640,
+) -> bytes:
+    """Serialize SCRFD detector params to a canonical 9-output det_*
+    ONNX graph (round-trips bit-exactly through the importer's
+    OnnxRunner — tests/test_onnx_export.py). Unfolded params only;
+    s2d variants are not exportable.
+    """
+    if hasattr(params, "apply"):
+        raise ValueError(
+            "params is an executor wrapper — export needs the native "
+            "unfolded pytree"
+        )
+    data = emit_scrfd_onnx(params, input_size=input_size)
     if path is not None:
         with open(path, "wb") as f:
             f.write(data)

@@ -180,3 +180,143 @@ def emit_mobilefacenet_onnx(params, input_size: int = 112) -> bytes:
         [(feat, [1, out_dim])],
     )
     return W.model(g)
+
+
+def emit_scrfd_onnx(params, input_size: int = 640) -> bytes:
+    """Emit the native SCRFD detector as a 9-output ONNX graph.
+
+    Canonical det_* layout: NCHW input (1,3,S,S), outputs
+    score_8..kps_32 shaped (1, H*W*A, {1,4,10}) with anchor index
+    fastest and post-sigmoid scores — exactly the raw-output contract
+    the importer's OnnxRunner classifies and detect/decode.py consumes
+    (the contract the reference's det_500m.onnx has but the reference
+    itself never decodes, SURVEY.md §2 quirk). Head weights are shared
+    across strides in the native model; the graph re-emits them per
+    stride (ONNX has no weight-tying; file grows ~2 x 150 KB).
+
+    Export UNFOLDED params. s2d variants are not exportable (ONNX
+    SpaceToDepth is outside the executor's op set).
+    """
+    from facerecognizeonnx_tpu.models.scrfd import (
+        NUM_ANCHORS,
+        SCRFD_VARIANTS,
+        STRIDES,
+        _variant_taps,
+        infer_variant,
+    )
+
+    variant = infer_variant(params)
+    spec = SCRFD_VARIANTS[variant]
+    if spec.get("s2d"):
+        raise ValueError(f"variant {variant!r} (space-to-depth stem) is not exportable")
+    if "bn" not in params["stem"]:
+        raise ValueError("params look BN-folded: export needs UNFOLDED params")
+    plan = spec["plan"]
+    tap_names = _variant_taps(plan)
+
+    e = _Emitter()
+
+    def shape_init(vals):
+        nm = e.name("shape")
+        e.inits.append(W.tensor(nm, np.asarray(vals, np.int64), use_raw=False))
+        return nm
+
+    def scalar_init(v):
+        nm = e.name("scalar")
+        e.inits.append(W.tensor(nm, np.asarray(v, np.float32)))
+        return nm
+
+    p = params["stem"]
+    x = e.conv("input", p["conv"], 2, 1)
+    x = e.bn(x, p["bn"])
+    x = e.prelu(x, p["prelu"])
+
+    taps = {}
+    cin = plan[0][0]
+    for (cout, stride), blk in zip(plan[1:], params["backbone"]):
+        if "conv" in blk:  # dense (TPU) block
+            x = e.conv(x, blk["conv"], stride, 1)
+            x = e.bn(x, blk["bn"])
+            x = e.prelu(x, blk["prelu"])
+        else:
+            x = e.conv(x, blk["dw"], stride, 1, groups=cin)
+            x = e.bn(x, blk["dw_bn"])
+            x = e.prelu(x, blk["dw_prelu"])
+            x = e.conv(x, blk["pw"], 1, 0)
+            x = e.bn(x, blk["pw_bn"])
+            x = e.prelu(x, blk["pw_prelu"])
+        cin = cout
+        if cout in tap_names and stride == 1:
+            taps[tap_names[cout]] = x
+
+    n = params["neck"]
+    p5 = e.conv(taps["c5"], n["lat_c5"], 1, 0)
+    p4 = e.conv(taps["c4"], n["lat_c4"], 1, 0)
+    p3 = e.conv(taps["c3"], n["lat_c3"], 1, 0)
+
+    def upsample2x(src):
+        out = e.name("up")
+        e.nodes.append(
+            W.node("Upsample", [src], [out], mode=b"nearest",
+                   scales=[1.0, 1.0, 2.0, 2.0])
+        )
+        return out
+
+    def add(a, b):
+        out = e.name("add")
+        e.nodes.append(W.node("Add", [a, b], [out]))
+        return out
+
+    p4 = add(p4, upsample2x(p5))
+    p3 = add(p3, upsample2x(p4))
+    p3 = e.conv(p3, n["smooth_p3"], 1, 1)
+    p4 = e.conv(p4, n["smooth_p4"], 1, 1)
+    p5 = e.conv(p5, n["smooth_p5"], 1, 1)
+
+    outputs = []
+    for stride, feat in zip(STRIDES, (p3, p4, p5)):
+        h = feat
+        for cp in params["head"]["convs"]:
+            h = e.conv(h, cp["conv"], 1, 1)
+            h = e.bn(h, cp["bn"])
+            h = e.prelu(h, cp["prelu"])
+        side = input_size // stride
+        rows = side * side * NUM_ANCHORS
+        scale = float(np.asarray(params["scales"][f"s{stride}"]))
+
+        def pred(conv_p, cols, act):
+            y = e.conv(h, conv_p, 1, 1)
+            if act == "sigmoid":
+                out = e.name("sig")
+                e.nodes.append(W.node("Sigmoid", [y], [out]))
+                y = out
+            else:  # per-stride learnable scale on the distance maps
+                out = e.name("mul")
+                e.nodes.append(W.node("Mul", [y, scalar_init(scale)], [out]))
+                y = out
+            t = e.name("tr")
+            e.nodes.append(W.node("Transpose", [y], [t], perm=[0, 2, 3, 1]))
+            r = e.name("out")
+            e.nodes.append(
+                W.node("Reshape", [t, shape_init([1, rows, cols])], [r])
+            )
+            return (r, [1, rows, cols])
+
+        outputs.append(
+            {
+                "score": pred(params["head"]["cls"], 1, "sigmoid"),
+                "bbox": pred(params["head"]["bbox"], 4, "scale"),
+                "kps": pred(params["head"]["kps"], 10, "scale"),
+            }
+        )
+
+    # canonical det_* output order: all scores by stride, then bbox, then kps
+    ordered = [outputs[s][kind] for kind in ("score", "bbox", "kps")
+               for s in range(len(STRIDES))]
+    g = W.graph(
+        e.nodes,
+        e.inits,
+        [("input", [1, 3, input_size, input_size])],
+        ordered,
+    )
+    return W.model(g)

@@ -73,3 +73,36 @@ def test_export_rejects_wrappers():
 
     with pytest.raises(ValueError, match="native unfolded pytree"):
         onnx_export.export_recognizer(FakeRunner())
+
+
+def test_export_scrfd_roundtrip_bit_exact(tmp_path):
+    """Exported detector graph reproduces the native forward EXACTLY
+    through the importer's OnnxRunner (same f32 ops, same order)."""
+    from facerecognizeonnx_tpu.models import scrfd
+    from facerecognizeonnx_tpu.onnx_import.importer import OnnxRunner
+
+    params = scrfd.init_params(jax.random.PRNGKey(4))
+    path = str(tmp_path / "det_500m_exported.onnx")
+    onnx_export.export_detector(params, path, input_size=192)
+
+    runner = OnnxRunner(path)
+    assert runner.kind == "scrfd" and runner.input_size == 192
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 192, 192, 3)).astype(np.float32))
+    got = runner.apply(x)
+    want = scrfd.apply(params, x)
+    assert set(got) == {8, 16, 32}
+    for s in (8, 16, 32):
+        for g_, w_ in zip(got[s], want[s]):
+            np.testing.assert_array_equal(np.asarray(g_), np.asarray(w_))
+
+
+def test_export_detector_rejects_s2d_and_folded():
+    from facerecognizeonnx_tpu.models import scrfd
+
+    s2d = scrfd.init_params(jax.random.PRNGKey(5), variant="500m_s2d")
+    with pytest.raises(ValueError, match="not exportable"):
+        onnx_export.export_detector(s2d)
+    folded = scrfd.fold_inference_params(scrfd.init_params(jax.random.PRNGKey(6)))
+    with pytest.raises(ValueError, match="UNFOLDED"):
+        onnx_export.export_detector(folded)
