@@ -211,7 +211,9 @@ class QuantizedRecognizer:
 
     def __init__(self, model_apply: Callable, params: Dict, qstate: Dict, strip: bool = True):
         self.model_apply = model_apply
-        self.params = strip_quantized_weights(params, qstate) if strip else params
+        self.params = (
+            strip_quantized_weights(params, qstate, model_apply) if strip else params
+        )
         self.qstate = qstate
 
     def apply(self, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -220,17 +222,66 @@ class QuantizedRecognizer:
         )
 
 
-def strip_quantized_weights(params: Dict, qstate: Dict) -> Dict:
-    """Replace float weights of quantized convs/FCs with 1-element
+def strip_quantized_weights(
+    params: Dict, qstate: Dict, apply_fn: Callable = None
+) -> Dict:
+    """Replace float weights of QUANTIZED convs/FCs with empty
     placeholders so a deployed pipeline doesn't keep two copies of the
-    model in HBM (r50: 166 MB f32 → 42 MB int8 + BN/PReLU floats).
+    model in HBM (r50 full w8a8: 166 MB f32 → 42 MB int8 + BN/PReLU
+    floats; selective min_channels=128 keeps only stage-1's f32 convs).
 
-    Walk order = pytree leaf order is NOT the trace order, so this walks
-    structurally: any dict with a "w" whose shape matches a quantized
-    entry... — instead we simply rely on XLA DCE for correctness and
-    only offer this for the common case: conv/linear dicts are the only
-    ones holding "w", and ALL of them are quantized (qstate has no None).
+    Pytree leaf order is NOT the trace order, so which "w" leaves are
+    quantized is recovered by re-tracing apply_fn under jax.eval_shape
+    (zero compute) with hooks that consume qstate positionally and
+    record id(w) of each quantized op. Without apply_fn, falls back to
+    the all-or-nothing behavior (strip only when no op was skipped).
     """
+    if apply_fn is not None:
+        conv_it = iter(qstate["convs"])
+        lin_it = iter(qstate["linears"])
+        ids = set()
+
+        def conv_fn(p, x, stride=1, padding=0, groups=1, compute_dtype=jnp.float32):
+            if next(conv_it) is not None:
+                ids.add(id(p["w"]))
+            return L.conv2d(
+                p, x, stride, padding, groups=groups, compute_dtype=compute_dtype
+            )
+
+        def linear_fn(p, x, compute_dtype=jnp.float32):
+            next(lin_it)
+            ids.add(id(p["w"]))
+            return L.linear(p, x, compute_dtype=compute_dtype)
+
+        # 112 is the family input contract (reference
+        # src/face_recognizer.cpp:8-10); the trace is shape-only (no
+        # compute). A model built for another size fails its FC reshape
+        # here — then keep the full params (correctness never depends on
+        # stripping).
+        try:
+            jax.eval_shape(
+                lambda v: apply_fn(params, v, conv_fn=conv_fn, linear_fn=linear_fn),
+                jax.ShapeDtypeStruct((1, 112, 112, 3), jnp.float32),
+            )
+        except Exception:
+            return params
+
+        def strip_by_id(node):
+            if isinstance(node, dict):
+                return {
+                    k: (
+                        jnp.zeros((0,), jnp.float32)
+                        if k == "w" and id(v) in ids
+                        else strip_by_id(v)
+                    )
+                    for k, v in node.items()
+                }
+            if isinstance(node, (list, tuple)):
+                return type(node)(strip_by_id(v) for v in node)
+            return node
+
+        return strip_by_id(params)
+
     if any(q is None for q in qstate["convs"]):
         return params  # mixed models: keep as-is, XLA DCEs unused weights
 

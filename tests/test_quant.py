@@ -104,6 +104,30 @@ def test_api_quantize_roundtrip():
     assert not rec.quantize()
 
 
+def test_strip_selective_by_trace():
+    """With min_channels set, only the QUANTIZED convs' f32 weights are
+    stripped (positions recovered by an eval_shape re-trace)."""
+    from facerecognizeonnx_tpu.models import mobilefacenet as mbf
+
+    params = mbf.fold_inference_params(
+        mbf.init_params(jax.random.PRNGKey(20), arch="mbf")
+    )
+    calib = _crops(4, key=21)
+    qstate = quant.quantize_recognizer(mbf.apply, params, calib, min_channels=128)
+    assert any(q is None for q in qstate["convs"])  # mixed model
+    stripped = quant.strip_quantized_weights(params, qstate, mbf.apply)
+    x = _crops(2, key=22)
+    a = quant.apply_quantized(mbf.apply, params, qstate, x)
+    b = quant.apply_quantized(mbf.apply, stripped, qstate, x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    n_full = sum(v.size for v in jax.tree_util.tree_leaves(params))
+    n_strip = sum(v.size for v in jax.tree_util.tree_leaves(stripped))
+    assert n_strip < n_full  # wide convs stripped
+    # depthwise convs keep their weights (they still run in bf16)
+    assert stripped["stem_dw"]["conv"]["w"].size > 0
+    assert stripped["conv_sep"]["conv"]["w"].size == 0  # 512ch, quantized
+
+
 def test_strip_quantized_weights(folded_params):
     calib = _crops(4, key=4)
     qstate = quant.quantize_recognizer(arcface.apply, folded_params, calib)
