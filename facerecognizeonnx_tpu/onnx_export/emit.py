@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from facerecognizeonnx_tpu.models.arcface import IRESNET_SPECS
+from facerecognizeonnx_tpu.models.mobilefacenet import MBF_SPECS, _body_plan
 from facerecognizeonnx_tpu.onnx_export import writer as W
 
 
@@ -119,13 +120,6 @@ def emit_iresnet_onnx(params, arch: str, input_size: int) -> bytes:
     return W.model(g)
 
 
-
-
-
-from facerecognizeonnx_tpu.models.mobilefacenet import MBF_SPECS, _body_plan
-from facerecognizeonnx_tpu.onnx_export import writer as W
-
-
 def emit_mobilefacenet_onnx(params, input_size: int = 112) -> bytes:
     blocks, scale = next(
         (b, s)
@@ -194,8 +188,8 @@ def emit_scrfd_onnx(params, input_size: int = 640) -> bytes:
     across strides in the native model; the graph re-emits them per
     stride (ONNX has no weight-tying; file grows ~2 x 150 KB).
 
-    Export UNFOLDED params. s2d variants are not exportable (ONNX
-    SpaceToDepth is outside the executor's op set).
+    Export UNFOLDED params. s2d variants emit an ONNX SpaceToDepth
+    stem (its channel order matches the native transform exactly).
     """
     from facerecognizeonnx_tpu.models.scrfd import (
         NUM_ANCHORS,
@@ -207,8 +201,6 @@ def emit_scrfd_onnx(params, input_size: int = 640) -> bytes:
 
     variant = infer_variant(params)
     spec = SCRFD_VARIANTS[variant]
-    if spec.get("s2d"):
-        raise ValueError(f"variant {variant!r} (space-to-depth stem) is not exportable")
     if "bn" not in params["stem"]:
         raise ValueError("params look BN-folded: export needs UNFOLDED params")
     plan = spec["plan"]
@@ -227,7 +219,17 @@ def emit_scrfd_onnx(params, input_size: int = 640) -> bytes:
         return nm
 
     p = params["stem"]
-    x = e.conv("input", p["conv"], 2, 1)
+    s2d = int(spec.get("s2d", 0))
+    stem_in = "input"
+    if s2d:
+        # ONNX SpaceToDepth's (block_y, block_x, channel) output order
+        # matches models/scrfd._space_to_depth exactly, so the stem conv
+        # weights transpose with NO channel permutation.
+        stem_in = e.name("s2d")
+        e.nodes.append(
+            W.node("SpaceToDepth", ["input"], [stem_in], blocksize=s2d)
+        )
+    x = e.conv(stem_in, p["conv"], 1 if s2d else 2, 1)
     x = e.bn(x, p["bn"])
     x = e.prelu(x, p["prelu"])
 

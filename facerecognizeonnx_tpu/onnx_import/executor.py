@@ -414,6 +414,16 @@ class Executor:
         method = "nearest" if mode in (b"nearest", "nearest") else "linear"
         return jax.image.resize(x, tuple(sizes), method=method)
 
+    def op_spacetodepth(self, node, args):
+        # NCHW blocks->channels, channel order (by, bx, c) per onnx spec:
+        # reshape/transpose/reshape — matches models/scrfd._space_to_depth
+        bs = int(_attr(node, "blocksize"))
+        x = jnp.asarray(args[0])
+        n, c, h, w = x.shape
+        x = x.reshape(n, c, h // bs, bs, w // bs, bs)
+        x = jnp.transpose(x, (0, 3, 5, 1, 2, 4))
+        return x.reshape(n, c * bs * bs, h // bs, w // bs)
+
     def op_upsample(self, node, args):
         scales = _attr(node, "scales")
         if scales is None:

@@ -97,12 +97,28 @@ def test_export_scrfd_roundtrip_bit_exact(tmp_path):
             np.testing.assert_array_equal(np.asarray(g_), np.asarray(w_))
 
 
-def test_export_detector_rejects_s2d_and_folded():
+def test_export_detector_s2d_variant(tmp_path):
+    """The space-to-depth stem exports as an ONNX SpaceToDepth node —
+    its (block_y, block_x, channel) output order matches the native
+    transform, so the round trip is bit-exact with no weight permute."""
+    from facerecognizeonnx_tpu.models import scrfd
+    from facerecognizeonnx_tpu.onnx_import.importer import OnnxRunner
+
+    params = scrfd.init_params(jax.random.PRNGKey(5), variant="500m_s2d")
+    path = str(tmp_path / "det_s2d.onnx")
+    onnx_export.export_detector(params, path, input_size=192)
+    runner = OnnxRunner(path)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 192, 192, 3)).astype(np.float32))
+    got, want = runner.apply(x), scrfd.apply(params, x)
+    for s in (8, 16, 32):
+        for g_, w_ in zip(got[s], want[s]):
+            np.testing.assert_array_equal(np.asarray(g_), np.asarray(w_))
+
+
+def test_export_detector_rejects_folded():
     from facerecognizeonnx_tpu.models import scrfd
 
-    s2d = scrfd.init_params(jax.random.PRNGKey(5), variant="500m_s2d")
-    with pytest.raises(ValueError, match="not exportable"):
-        onnx_export.export_detector(s2d)
     folded = scrfd.fold_inference_params(scrfd.init_params(jax.random.PRNGKey(6)))
     with pytest.raises(ValueError, match="UNFOLDED"):
         onnx_export.export_detector(folded)
