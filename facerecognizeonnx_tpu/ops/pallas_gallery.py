@@ -14,8 +14,13 @@ gallery stream itself (which is unavoidable), and the (Q, k) result.
 Top-k selection overlaps the next tile's matmul via the normal Pallas
 double-buffered pipeline.
 
-A jnp reference implementation (same math, XLA) backs tests and
-non-TPU platforms.
+Measured reality check (scan-amortized device timing, v5e, Q=128,
+G=100k): the XLA materialize+top_k reference runs 0.65 ms — near the
+gallery-read bandwidth floor — vs 1.36 ms for this kernel, so the
+kernel only wins where (Q, G) cannot materialize in HBM (~2G+
+similarity elements); GalleryBank.search auto-escalates on that
+boundary. A jnp reference implementation (same math, XLA) backs tests
+and non-TPU platforms.
 """
 
 from __future__ import annotations
@@ -152,12 +157,16 @@ def gallery_topk_tiled(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EXACT hierarchical top-k: per-tile top-k, then top-k of winners.
 
-    lax.top_k over a 100k-wide axis is sort-bound (the materialize+top_k
-    form measures ~36k q/s on v5e, ~1% of the matmul+bandwidth roofline).
-    Splitting the gallery axis into `tile`-wide lanes bounds every sort
-    to `tile` candidates: the true top-k rows live in at most k tiles'
-    own top-k sets, so two stages are exact, and stage 2 sorts only
-    (G/tile)*k values. Requires k ≤ tile.
+    The true top-k rows live in at most k tiles' own top-k sets, so two
+    stages are exact, and stage 2 sorts only (G/tile)*k values. Requires
+    k ≤ tile.
+
+    MEASURED NEGATIVE RESULT (kept for completeness + as the exactness
+    oracle for tiling-based sharded variants): scan-amortized device
+    timing on v5e (Q=128, G=100k, k=5) puts this at 2.71 ms vs 0.65 ms
+    for plain materialize+lax.top_k — XLA's top_k is already internally
+    hierarchical, so the explicit staging only adds passes
+    (docs/PERFORMANCE.md). GalleryBank's auto path does NOT pick it.
     """
     assert k <= tile, (k, tile)
     queries = jnp.asarray(queries, jnp.float32)
