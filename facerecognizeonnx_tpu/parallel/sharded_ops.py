@@ -154,11 +154,29 @@ def sharded_frames_to_features(
     b_real = np.asarray(frames_u8).shape[0]
     x = jax.device_put(frames_host, NamedSharding(mesh, P(axis)))
 
+    # A QuantizedRecognizer (models/quant.py) is an object, not a pytree:
+    # ship its (params, qstate) arrays through shard_map and re-wrap them
+    # inside the traced region (strip=False — stripping re-traces with
+    # eval_shape, which must not run inside a trace).
+    if hasattr(arc_params, "qstate"):
+        from facerecognizeonnx_tpu.models.quant import QuantizedRecognizer
+
+        quant_apply = arc_params.model_apply
+        ap_tree = (arc_params.params, arc_params.qstate)
+
+        def _rebuild(ap):
+            return QuantizedRecognizer(quant_apply, ap[0], ap[1], strip=False)
+    else:
+        ap_tree = arc_params
+
+        def _rebuild(ap):
+            return ap
+
     sh = P(axis)
     fn = jax.jit(
         shard_map(
             lambda dp, ap, v: frames_to_features(
-                dp, ap, v, cfg, max_faces_embed=max_faces_embed
+                dp, _rebuild(ap), v, cfg, max_faces_embed=max_faces_embed
             ),
             mesh=mesh,
             in_specs=(P(), P(), sh),
@@ -168,7 +186,7 @@ def sharded_frames_to_features(
             ),
         )
     )
-    dets, feats = fn(det_params, arc_params, x)
+    dets, feats = fn(det_params, ap_tree, x)
     dets = Detections(
         boxes=dets.boxes[:b_real],
         scores=dets.scores[:b_real],

@@ -135,3 +135,49 @@ def test_sharded_fused_pipeline_matches_local(rng):
     np.testing.assert_allclose(
         np.asarray(feats_s), np.asarray(feats_l), atol=2e-3
     )
+
+
+def test_sharded_fused_pipeline_quantized(rng):
+    """A w8a8 QuantizedRecognizer threads through the shard_map'd fused
+    pipeline (its (params, qstate) arrays ship as pytrees and re-wrap
+    inside the traced region) and matches the local quantized program."""
+    import jax.numpy as jnp
+
+    from facerecognizeonnx_tpu.models import arcface, quant, scrfd
+    from facerecognizeonnx_tpu.parallel.sharded_ops import (
+        sharded_frames_to_features,
+    )
+    from facerecognizeonnx_tpu.pipeline.fused import frames_to_features
+    from facerecognizeonnx_tpu.utils.hostinit import init_on_host
+
+    size = 128
+    cfg = PipelineConfig(
+        det_input_size=size, compute_dtype="float32", pre_nms_topk=64,
+        max_faces=16,
+    )
+    det = init_on_host(lambda: scrfd.init_params(jax.random.PRNGKey(0)))
+    arc = init_on_host(
+        lambda: arcface.init_params(jax.random.PRNGKey(1), arch="iresnet18")
+    )
+    calib = jnp.asarray(rng.uniform(-1, 1, (4, 112, 112, 3)).astype(np.float32))
+    qstate = quant.quantize_recognizer(arcface.apply, arc, calib, min_channels=128)
+    qrec = quant.QuantizedRecognizer(arcface.apply, arc, qstate)
+    frames = rng.integers(0, 256, (3, size, size, 3)).astype(np.uint8)
+
+    dets_s, feats_s = sharded_frames_to_features(
+        det, qrec, frames, cfg, max_faces_embed=4
+    )
+    dets_l, feats_l = jax.jit(
+        lambda v: frames_to_features(det, qrec, v, cfg, max_faces_embed=4)
+    )(jnp.asarray(frames))
+    # int8 rounding amplifies ulp-level batch-size differences in the
+    # f32 detect stage (sharded = per-device batch 1), so elementwise
+    # equality does not hold — the deployment contract is cosine.
+    fs = np.asarray(feats_s).reshape(-1, 512)
+    fl = np.asarray(feats_l).reshape(-1, 512)
+    live = (np.linalg.norm(fs, axis=1) > 0) & (np.linalg.norm(fl, axis=1) > 0)
+    assert live.any()
+    cos = (fs[live] * fl[live]).sum(1) / (
+        np.linalg.norm(fs[live], axis=1) * np.linalg.norm(fl[live], axis=1)
+    )
+    assert cos.min() > 0.999, cos.min()
