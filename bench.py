@@ -55,8 +55,8 @@ def main():
         "--config",
         default="all",
         choices=[
-            "headline", "headline_mbf", "headline_q8", "enroll", "gallery",
-            "video", "all",
+            "headline", "headline_mbf", "headline_q8", "headline_mbf_q8",
+            "enroll", "gallery", "video", "all",
         ],
         help="BASELINE.json config to run; 'all' (default) runs the four "
         "configs and reports headline as the top-level metric",
@@ -139,10 +139,36 @@ def main():
         out["metric"] = "faces/sec/chip end-to-end (detect+align+int8 embed)"
         return out
 
+    def bench_headline_mbf_q8():
+        """mbf recognizer + selective int8: the two fast options compose
+        (mbf's 128-512-wide expand convs are exactly where v5e int8
+        wins; its depthwise convs stay bf16 via the groups!=1 rule)."""
+        from facerecognizeonnx_tpu.models import mobilefacenet as mbf
+        from facerecognizeonnx_tpu.models import quant
+
+        mbf_params = init_on_host(
+            lambda: mbf.fold_inference_params(mbf.init_params(jax.random.PRNGKey(2)))
+        )
+        rng = np.random.default_rng(4)
+        calib = jnp.asarray(
+            (rng.integers(0, 256, (64, 112, 112, 3)).astype(np.float32) - 127.5)
+            / 128.0
+        )
+        qstate = jax.jit(
+            lambda p, c: quant.quantize_recognizer(
+                mbf.apply, p, c, min_channels=128
+            )
+        )(mbf_params, calib)
+        rec = quant.QuantizedRecognizer(mbf.apply, mbf_params, qstate)
+        out = bench_headline(args, cfg, det_params, rec, log)
+        out["metric"] = "faces/sec/chip end-to-end (detect+align+int8 mbf embed)"
+        return out
+
     runners = {
         "headline": lambda: bench_headline(args, cfg, det_params, arc_params, log),
         "headline_mbf": bench_headline_mbf,
         "headline_q8": bench_headline_q8,
+        "headline_mbf_q8": bench_headline_mbf_q8,
         "enroll": lambda: bench_enroll(args, cfg, arc_params, log),
         "gallery": lambda: bench_gallery(args, log),
         "video": lambda: bench_video(args, cfg, det_params, arc_params, log),
@@ -152,6 +178,10 @@ def main():
         return
 
     results = {}
+    # headline_mbf_q8 is available but NOT in "all": measured 7,295 vs
+    # 7,283 bf16-mbf — at mbf's FLOP count the pipeline is warp+detector
+    # bound, so int8 embed moves nothing (it remains the 4x-smaller-
+    # weights deployment point).
     for name in (
         "headline", "headline_mbf", "headline_q8", "enroll", "gallery", "video",
     ):
