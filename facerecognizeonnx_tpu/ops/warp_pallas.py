@@ -92,7 +92,7 @@ def build_pyramid_cf(frames_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem,
-            xpass_bf16=False):
+            xpass_bf16=False, unroll=1):
     """grid = (N,): one step per face.
 
     DMA is double-buffered ACROSS faces: face f's compute overlaps face
@@ -156,7 +156,7 @@ def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem,
     #   - replacing the per-channel cross-lane x-reduction with one
     #     (PIX, 3·WIN_X)@(3·WIN_X, 128) ones-block MXU matmul: 27.5 ms —
     #     the extra t-cast + xw tiling outweigh the reduce it removes.
-    def chunk_body(chunk, _):
+    def one_chunk(chunk):
         ii = ii_base + chunk * ROWS_PER_CHUNK
         lx = af * jj + bf_ * ii + tx_loc  # (PIX, 1)
         ly = cf * jj + df * ii + ty_loc
@@ -188,9 +188,32 @@ def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem,
             for c in range(3):
                 t_c = t[:, c * WIN_X : (c + 1) * WIN_X]
                 out_ref[0, c, pl.ds(chunk * PIX, PIX)] = jnp.sum(t_c * xw, axis=1)
-        return 0
 
-    lax.fori_loop(0, CHUNKS, chunk_body, 0)
+    if unroll == 1:
+        def chunk_body(chunk, _):
+            one_chunk(chunk)
+            return 0
+
+        lax.fori_loop(0, CHUNKS, chunk_body, 0)
+    else:
+        # Partial unroll: the j-th and (j+1)-th chunk bodies are
+        # data-independent (disjoint out_ref slices, shared read-only
+        # window), giving Mosaic's scheduler a chance to overlap chunk
+        # i's VPU x-pass with chunk i+1's MXU matmul — the phases run
+        # ~sequentially in the fori form (docs/PERFORMANCE.md warp
+        # accounting). pl.when guards the ragged tail (CHUNKS=7).
+        n_steps = (CHUNKS + unroll - 1) // unroll
+
+        def chunk_body(cb, _):
+            for j in range(unroll):
+                chunk = cb * unroll + j
+
+                @pl.when(chunk < CHUNKS)
+                def _do(chunk=chunk):
+                    one_chunk(chunk)
+            return 0
+
+        lax.fori_loop(0, n_steps, chunk_body, 0)
     out_ref[0, 3, :] = jnp.zeros((CHUNKS * PIX,), jnp.float32)
 
 
@@ -200,6 +223,7 @@ def warp_affine_pallas(
     out_size: int = OUT,
     interpret: bool = False,
     xpass_bf16: bool = False,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """(B, H, W, 3) u8 + (B, K, 2, 3) forward affines →
     (B, K, out, out, 3) f32 BGR (zero border)."""
@@ -288,7 +312,7 @@ def warp_affine_pallas(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, xpass_bf16=xpass_bf16),
+        functools.partial(_kernel, xpass_bf16=xpass_bf16, unroll=unroll),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, 4, CHUNKS * PIX), jnp.float32),
         interpret=interpret,
