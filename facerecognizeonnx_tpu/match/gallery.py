@@ -119,7 +119,12 @@ class GalleryBank:
                 jnp.asarray(queries), jnp.asarray(self._feats), top_k
             )
             sims, idx = np.asarray(sims), np.asarray(idx)
-        elif method == "tiled" and top_k <= 512:
+        elif method == "tiled":
+            if top_k > 512:
+                raise ValueError(
+                    f"method='tiled' supports top_k <= 512 (tile size); "
+                    f"got top_k={top_k} — use method='xla' or 'auto'"
+                )
             # NEGATIVE result kept for completeness: scan-amortized
             # device timing (Q=128, G=100k, v5e) measures tiled512 at
             # 2.71 ms vs 0.65 ms for materialize+lax.top_k — XLA's

@@ -75,8 +75,9 @@ def export_detector(
 ) -> bytes:
     """Serialize SCRFD detector params to a canonical 9-output det_*
     ONNX graph (round-trips bit-exactly through the importer's
-    OnnxRunner — tests/test_onnx_export.py). Unfolded params only;
-    s2d variants are not exportable.
+    OnnxRunner — tests/test_onnx_export.py). Unfolded params only.
+    s2d variants export via an ONNX SpaceToDepth stem node
+    (tests/test_onnx_export.py::test_export_detector_s2d_variant).
     """
     if hasattr(params, "apply"):
         raise ValueError(

@@ -112,7 +112,11 @@ def node(op_type: str, inputs, outputs, name: str = "", **attrs) -> bytes:
         out += _len_field(1, i.encode())
     for o in outputs:
         out += _len_field(2, o.encode())
-    out += _len_field(3, (name or op_type).encode())
+    # empty node names are spec-legal and exempt from the graph-level
+    # uniqueness rule; defaulting to op_type gave every Conv the same
+    # (duplicate) name, which the ONNX checker rejects
+    if name:
+        out += _len_field(3, name.encode())
     out += _len_field(4, op_type.encode())
     for k, v in attrs.items():
         out += _len_field(5, _attribute(k, v))
@@ -143,7 +147,18 @@ def graph(nodes, initializers, inputs, outputs, name="testgraph") -> bytes:
     return out
 
 
-def model(graph_bytes: bytes) -> bytes:
+def model(graph_bytes: bytes, opset_version: int = 8) -> bytes:
+    """ModelProto: ir_version + graph + opset_import.
+
+    ONNX requires ≥1 opset_import for ir_version≥4 — stock ONNX Runtime
+    (the reference's Ort::Session loader, src/face_recognizer.cpp:25)
+    rejects models without one ("Missing opset in the model"). Default
+    pinned to opset 8 because emit_scrfd_onnx uses the attribute-form
+    Upsample (scales moved to an input in opset 9, op deprecated in 10).
+    """
     out = _varint_field(1, 8)  # ir_version
+    # OperatorSetIdProto: domain (field 1, "" = ai.onnx), version (field 2)
+    opset = _len_field(1, b"") + _varint_field(2, opset_version)
+    out += _len_field(8, opset)
     out += _len_field(7, graph_bytes)
     return out

@@ -217,6 +217,271 @@ def _kernel(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem,
     out_ref[0, 3, :] = jnp.zeros((CHUNKS * PIX,), jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# x-major (v5) layout: the transposed-pyramid candidate from
+# docs/PERFORMANCE.md. Windows are stored (x, y) — x in SUBLANES
+# (16-aligned DMA starts), y in LANES (128-aligned starts) — so the
+# y-pass matmul becomes win(3·128, 256) @ ywT(256, PIX) and, decisively,
+# the x-pass reduction runs over SUBLANES (16 vregs, ~15 adds) instead
+# of the 7-step cross-lane shuffle tree over 256 lanes that dominated
+# the y-major kernel's VPU time (warp accounting: x-pass ~28 µs of the
+# 66 µs/face total). Same FLOPs, same hat-weight semantics, same COVER.
+#
+# Coverage proof (mirrors the y-major one with the alignments swapped):
+#   x: x_min - x_lo ≤ 15  and span+2 ≤ 112 ≤ 128-15
+#   y: y_min - y_lo ≤ 127 and span+2 ≤ 112 ≤ 256-127
+XM_WIN_X = 128  # sublane dim: 16-aligned start + ≥111 coverage
+XM_WIN_Y = 256  # lane dim: 128-aligned start + ≥127 coverage
+XM_ALIGN_X, XM_ALIGN_Y = 16, 128
+XM_PAD_W, XM_PAD_H = 656, 768  # (x, y) canvas: W ≤ 640 ≤ 656-16, H ≤ 640 ≤ 768-128
+
+
+def build_pyramid_xm(frames_u8: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) u8 → (B, 4, 3, PAD_W, PAD_H) bf16 x-major canvases
+    (same box-filtered mips as build_pyramid_cf, transposed layout)."""
+    B, H, W, _ = frames_u8.shape
+    assert W <= XM_PAD_W - XM_ALIGN_X and H <= XM_PAD_H - XM_ALIGN_Y, (H, W)
+    base = jnp.transpose(frames_u8, (0, 3, 2, 1)).astype(jnp.float32)
+    level = base
+    pyr = jnp.zeros((B, NUM_LEVELS, 3, XM_PAD_W, XM_PAD_H), jnp.bfloat16)
+    for lvl in range(NUM_LEVELS):
+        if lvl:
+            level = (
+                lax.reduce_window(
+                    level, 0.0, lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+                )
+                * 0.25
+            )
+        pyr = lax.dynamic_update_slice(
+            pyr,
+            jnp.round(level).astype(jnp.bfloat16)[:, None],
+            (0, lvl, 0, 0, 0),
+        )
+    return pyr
+
+
+def _kernel_xm(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem,
+               epilogue=None, skip_invalid=False):
+    """x-major kernel, grid = (N,).
+
+    iparams are PACKED 2 int32/face (SMEM is the batch-128 limiter —
+    docs/PERFORMANCE.md round-2 note): word0 = b<<8 | lvl<<4 | valid,
+    word1 = x_lo<<16 | y_lo. Same cross-face DMA double-buffering as the
+    y-major kernel.
+
+    epilogue=(mean, scale): emit embed-ready bf16 normalized RGB
+    (channel 2-c, (px-mean)/scale) instead of raw f32 BGR — kills the
+    separate normalize pass AND shrinks the kernel's HBM write 8/3×.
+    skip_invalid: faces with valid=0 skip their window DMA and all
+    compute (pl.when), writing zeros — real frames rarely fill all K
+    slots (reference embeds only detected faces, src/main.cpp:226).
+    """
+    f = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = lax.rem(f, 2)
+
+    def meta(face):
+        w0 = iparams_ref[face, 0]
+        w1 = iparams_ref[face, 1]
+        b = lax.shift_right_logical(w0, 8)
+        lvl = lax.bitwise_and(lax.shift_right_logical(w0, 4), 0xF)
+        valid = lax.bitwise_and(w0, 0xF)
+        x_lo = pl.multiple_of(lax.shift_right_logical(w1, 16), XM_ALIGN_X)
+        y_lo = pl.multiple_of(lax.bitwise_and(w1, 0xFFFF), XM_ALIGN_Y)
+        return b, lvl, valid, x_lo, y_lo
+
+    def copy_for(face, slot_, c):
+        b, lvl, _, x_lo, y_lo = meta(face)
+        return pltpu.make_async_copy(
+            pyr_ref.at[b, lvl, c, pl.ds(x_lo, XM_WIN_X), pl.ds(y_lo, XM_WIN_Y)],
+            win_scr.at[slot_, pl.ds(c * XM_WIN_X, XM_WIN_X), :],
+            sem.at[slot_, c],
+        )
+
+    def start_fetch(face, slot_):
+        def go():
+            for c in range(3):
+                copy_for(face, slot_, c).start()
+        if skip_invalid:
+            pl.when(meta(face)[2] != 0)(go)
+        else:
+            go()
+
+    @pl.when(f == 0)
+    def _first_fetch():
+        start_fetch(0, 0)
+
+    @pl.when(f + 1 < n)
+    def _prefetch_next():
+        start_fetch(f + 1, lax.rem(f + 1, 2))
+
+    valid_f = meta(f)[2]
+
+    def wait_windows():
+        for c in range(3):
+            copy_for(f, slot, c).wait()
+
+    af = fparams_ref[f, 0]
+    bf_ = fparams_ref[f, 1]
+    cf = fparams_ref[f, 2]
+    df = fparams_ref[f, 3]
+    tx_loc = fparams_ref[f, 4]
+    ty_loc = fparams_ref[f, 5]
+
+    # pixel index in LANES (the y-major kernel put it in sublanes): the
+    # interpolated row t and the x-weights then share the (win-dim,
+    # pixel-lane) layout whose reduction runs over sublanes.
+    zf = lax.broadcasted_iota(jnp.int32, (1, PIX), 1).astype(jnp.float32)
+    ii_base = jnp.floor((zf + 0.5) * (1.0 / OUT))
+    jj = zf - ii_base * OUT
+    x_iota = lax.broadcasted_iota(jnp.int32, (XM_WIN_X, 1), 0).astype(jnp.float32)
+    y_iota = lax.broadcasted_iota(jnp.int32, (XM_WIN_Y, 1), 0).astype(jnp.float32)
+
+    if epilogue is not None:
+        mean, scale = epilogue
+        out_dtype = jnp.bfloat16
+    else:
+        out_dtype = jnp.float32
+
+    def one_chunk(chunk):
+        ii = ii_base + chunk * ROWS_PER_CHUNK
+        lx = af * jj + bf_ * ii + tx_loc  # (1, PIX)
+        ly = cf * jj + df * ii + ty_loc
+        lx = jnp.clip(lx, -2.0, XM_WIN_X + 1.0)
+        ly = jnp.clip(ly, -2.0, XM_WIN_Y + 1.0)
+        ywT = jnp.maximum(0.0, 1.0 - jnp.abs(ly - y_iota)).astype(jnp.bfloat16)
+        xwT = jnp.maximum(0.0, 1.0 - jnp.abs(lx - x_iota))  # (128, PIX) f32
+        # (3·128, 256) @ (256, PIX): K=256, M = exactly 3 MXU tiles
+        t = jnp.dot(win_scr[slot], ywT, preferred_element_type=jnp.float32)
+        for c in range(3):
+            t_c = t[c * XM_WIN_X : (c + 1) * XM_WIN_X]
+            s = jnp.sum(t_c * xwT, axis=0)  # sublane reduce: 16 vregs
+            if epilogue is not None:
+                out_ref[0, 2 - c, pl.ds(chunk * PIX, PIX)] = (
+                    (s - mean) * (1.0 / scale)
+                ).astype(out_dtype)
+            else:
+                out_ref[0, c, pl.ds(chunk * PIX, PIX)] = s
+
+    def compute():
+        wait_windows()
+
+        def chunk_body(chunk, _):
+            one_chunk(chunk)
+            return 0
+
+        lax.fori_loop(0, CHUNKS, chunk_body, 0)
+        out_ref[0, 3, :] = jnp.zeros((CHUNKS * PIX,), out_dtype)
+
+    if skip_invalid:
+        pl.when(valid_f != 0)(compute)
+
+        @pl.when(valid_f == 0)
+        def _zero_out():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_dtype)
+    else:
+        compute()
+
+
+def _warp_affine_pallas_xm(
+    frames_u8, Ms, interpret, epilogue, valid
+):
+    """x-major driver: level select + aligned window starts + packed
+    scalar params, then the _kernel_xm grid."""
+    B, H, W, _ = frames_u8.shape
+    K = Ms.shape[1]
+    N = B * K
+
+    pyramid = build_pyramid_xm(frames_u8)
+
+    Minv = jax.vmap(jax.vmap(invert_affine))(Ms)
+    a, b_, tx = Minv[..., 0, 0], Minv[..., 0, 1], Minv[..., 0, 2]
+    c, d, ty = Minv[..., 1, 0], Minv[..., 1, 1], Minv[..., 1, 2]
+
+    span_x = (OUT - 1) * (jnp.abs(a) + jnp.abs(b_)) + 2.0
+    span_y = (OUT - 1) * (jnp.abs(c) + jnp.abs(d)) + 2.0
+    extent = jnp.maximum(span_x, span_y)
+    level = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(extent / COVER, 1e-6))),
+        0,
+        NUM_LEVELS - 1,
+    )
+    factor = jnp.exp2(level)
+
+    af, bf_, cf, df = (v / factor for v in (a, b_, c, d))
+    txf = (tx + 0.5) / factor - 0.5
+    tyf = (ty + 0.5) / factor - 0.5
+
+    big = 1e7
+    x_min = jnp.clip(
+        jnp.minimum(af * (OUT - 1), 0.0)
+        + jnp.minimum(bf_ * (OUT - 1), 0.0)
+        + txf,
+        -big,
+        big,
+    )
+    y_min = jnp.clip(
+        jnp.minimum(cf * (OUT - 1), 0.0)
+        + jnp.minimum(df * (OUT - 1), 0.0)
+        + tyf,
+        -big,
+        big,
+    )
+    max_x = float(((XM_PAD_W - XM_WIN_X) // XM_ALIGN_X) * XM_ALIGN_X)
+    max_y = float(((XM_PAD_H - XM_WIN_Y) // XM_ALIGN_Y) * XM_ALIGN_Y)
+    x_lo = jnp.clip(jnp.floor(x_min / XM_ALIGN_X) * XM_ALIGN_X, 0.0, max_x)
+    y_lo = jnp.clip(jnp.floor(y_min / XM_ALIGN_Y) * XM_ALIGN_Y, 0.0, max_y)
+
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, K))
+    if valid is None:
+        valid_i = jnp.ones((B, K), jnp.int32)
+    else:
+        valid_i = valid.reshape(B, K).astype(jnp.int32)
+    w0 = (
+        (b_idx << 8) | (level.astype(jnp.int32) << 4) | valid_i
+    ).reshape(-1)
+    w1 = (
+        (x_lo.astype(jnp.int32) << 16) | y_lo.astype(jnp.int32)
+    ).reshape(-1)
+    iparams = jnp.stack([w0, w1], axis=-1)  # (N, 2) int32 — half the SMEM
+    fparams = jnp.stack(
+        [
+            af.reshape(-1),
+            bf_.reshape(-1),
+            cf.reshape(-1),
+            df.reshape(-1),
+            (txf - x_lo).reshape(-1),
+            (tyf - y_lo).reshape(-1),
+        ],
+        axis=-1,
+    ).astype(jnp.float32)  # (N, 6)
+
+    out_dtype = jnp.float32 if epilogue is None else jnp.bfloat16
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 4, CHUNKS * PIX), lambda f, *_: (f, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3 * XM_WIN_X, XM_WIN_Y), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_xm, epilogue=epilogue, skip_invalid=valid is not None
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, 4, CHUNKS * PIX), out_dtype),
+        interpret=interpret,
+    )(iparams, fparams, pyramid)
+
+    crops = out[:, :3].reshape(B, K, 3, OUT, OUT)
+    return jnp.transpose(crops, (0, 1, 3, 4, 2))
+
+
 def warp_affine_pallas(
     frames_u8: jnp.ndarray,
     Ms: jnp.ndarray,
@@ -224,10 +489,23 @@ def warp_affine_pallas(
     interpret: bool = False,
     xpass_bf16: bool = False,
     unroll: int = 1,
+    layout: str = "ymajor",
+    epilogue=None,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(B, H, W, 3) u8 + (B, K, 2, 3) forward affines →
-    (B, K, out, out, 3) f32 BGR (zero border)."""
+    (B, K, out, out, 3) f32 BGR (zero border).
+
+    layout="xmajor" selects the transposed-pyramid v5 kernel (sublane
+    x-reduce instead of the cross-lane tree). epilogue=(mean, scale)
+    (xmajor only) returns embed-ready bf16 normalized RGB instead of
+    raw f32 BGR. valid (B, K) bool (xmajor only) skips invalid faces'
+    DMA + compute entirely, returning zeros in those slots.
+    """
     assert out_size == OUT, "kernel is specialized to 112 output"
+    if layout == "xmajor":
+        return _warp_affine_pallas_xm(frames_u8, Ms, interpret, epilogue, valid)
+    assert epilogue is None and valid is None, "ymajor kernel: raw BGR only"
     B, H, W, _ = frames_u8.shape
     K = Ms.shape[1]
     N = B * K

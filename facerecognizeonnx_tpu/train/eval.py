@@ -85,7 +85,11 @@ def tar_at_far(
     neg = np.sort(sims[~same])
     pos = sims[same]
     assert neg.size > 0 and pos.size > 0, "need both genuine and impostor pairs"
-    k = min(neg.size - 1, int(np.ceil((1.0 - far) * neg.size)))
+    # floor, not ceil: with m = far*n integer, ceil selected index n-m
+    # (e.g. the MAX impostor at far=1e-3, n=1000) so only m-1 impostors
+    # exceeded it — a stricter FAR than requested. floor((1-far)*n)
+    # leaves exactly floor(far*n) impostors strictly above the threshold.
+    k = min(neg.size - 1, int(np.floor((1.0 - far) * neg.size)))
     thr = float(neg[k])
     return {
         "tar": float((pos > thr).mean()),
