@@ -56,11 +56,11 @@ def main():
         default="all",
         choices=[
             "headline", "headline_mbf", "headline_q8", "headline_mbf_q8",
-            "enroll", "gallery", "video", "all",
+            "headline_onnx", "enroll", "gallery", "video", "all",
         ],
-        help="BASELINE.json config to run; 'all' (default) runs six "
-        "(headline, headline_mbf, headline_q8, enroll, gallery, video) "
-        "and reports headline as the top-level metric",
+        help="BASELINE.json config to run; 'all' (default) runs seven "
+        "(headline, headline_mbf, headline_q8, headline_onnx, enroll, "
+        "gallery, video) and reports headline as the top-level metric",
     )
     args = ap.parse_args()
 
@@ -89,7 +89,13 @@ def main():
     on_tpu = not args.cpu and jax.devices()[0].platform != "cpu"
     if args.batch is None:
         args.batch = 64 if on_tpu else 2
-    cfg = PipelineConfig(warp_impl="pallas" if on_tpu else "gather")  # bf16 compute
+    # skip_invalid_faces=False: the headline pays for ALL K face slots
+    # whether or not a detection occupies them (synthetic frames have
+    # arbitrary detections — skipping would make the number dishonest)
+    cfg = PipelineConfig(
+        warp_impl="pallas" if on_tpu else "gather",  # bf16 compute
+        skip_invalid_faces=False,
+    )
     log(f"device: {jax.devices()[0]} warp={cfg.warp_impl} batch={args.batch}")
 
     t0 = time.time()
@@ -165,8 +171,35 @@ def main():
         out["metric"] = "faces/sec/chip end-to-end (detect+align+int8 mbf embed)"
         return out
 
+    def bench_headline_onnx():
+        """Fused pipeline with the detector loaded FROM AN .onnx FILE
+        through OnnxRunner's NHWC fast path (executor.py) — the route a
+        real det_500m.onnx takes, since native_map only claims
+        recognizer topologies. Measures executor overhead vs the native
+        headline on the same weights/topology (round-trip through
+        onnx_export keeps them identical)."""
+        import tempfile
+
+        from facerecognizeonnx_tpu.models import scrfd as scrfd_mod
+        from facerecognizeonnx_tpu.onnx_export import export_detector
+        from facerecognizeonnx_tpu.onnx_import import OnnxRunner
+
+        unfolded = init_on_host(
+            lambda: scrfd_mod.init_params(jax.random.PRNGKey(0))
+        )
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "det_500m_rt.onnx")
+            export_detector(jax.device_get(unfolded), path=path)
+            runner = OnnxRunner(path)
+        out = bench_headline(args, cfg, runner, arc_params, log)
+        out["metric"] = (
+            "faces/sec/chip end-to-end (onnx-executor detect+align+embed)"
+        )
+        return out
+
     runners = {
         "headline": lambda: bench_headline(args, cfg, det_params, arc_params, log),
+        "headline_onnx": bench_headline_onnx,
         "headline_mbf": bench_headline_mbf,
         "headline_q8": bench_headline_q8,
         "headline_mbf_q8": bench_headline_mbf_q8,
@@ -184,7 +217,8 @@ def main():
     # bound, so int8 embed moves nothing (it remains the 4x-smaller-
     # weights deployment point).
     for name in (
-        "headline", "headline_mbf", "headline_q8", "enroll", "gallery", "video",
+        "headline", "headline_mbf", "headline_q8", "headline_onnx",
+        "enroll", "gallery", "video",
     ):
         t0 = time.time()
         try:

@@ -220,9 +220,14 @@ def mode_webcam(args):
 
 
 def mode_enroll(args):
-    """Batched gallery enrollment (SURVEY.md §2 parallelism checklist)."""
+    """Batched gallery enrollment (SURVEY.md §2 parallelism checklist).
+
+    Uses the shape-bucketed batched pipeline (pipeline/enroll.py): one
+    detect program dispatch per distinct image shape, one batched align,
+    and ONE data-parallel embed for every crop — not a per-image loop."""
     detector, recognizer = _load_models(args)
     from facerecognizeonnx_tpu.match.gallery import GalleryBank
+    from facerecognizeonnx_tpu.pipeline.enroll import enroll_batch
 
     paths = []
     for pattern in args.images:
@@ -231,20 +236,16 @@ def mode_enroll(args):
         else:
             paths += sorted(glob.glob(pattern)) or [pattern]
     bank = GalleryBank.load(args.gallery) if os.path.exists(args.gallery) else GalleryBank()
-    n_ok = 0
+    names, images = [], []
     for path in paths:
         image = imread(path)
         if image is None:
             continue
-        faces = detector.detect(image)
-        if not faces:
-            continue
-        feat = recognizer.extract_feature(image, faces[0])
-        if feat.size:
-            bank.add(os.path.splitext(os.path.basename(path))[0], feat)
-            n_ok += 1
+        names.append(os.path.splitext(os.path.basename(path))[0])
+        images.append(image)
+    bank, enrolled = enroll_batch(detector, recognizer, names, images, bank=bank)
     bank.save(args.gallery)
-    print(f"已注册 {n_ok}/{len(paths)} 张人脸 → {args.gallery} (共 {len(bank)} 条)")
+    print(f"已注册 {len(enrolled)}/{len(paths)} 张人脸 → {args.gallery} (共 {len(bank)} 条)")
 
 
 def mode_identify(args):

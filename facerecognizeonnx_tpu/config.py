@@ -67,6 +67,13 @@ class PipelineConfig:
     #              (ops/warp_pallas.py, TPU only; 7.9ms vs 20ms for 64
     #              faces on v5e; ≤0.5-LSB p99 deviation vs "gather")
     warp_impl: str = "gather"
+    # Skip the alignment warp for UNOCCUPIED face slots in the fused
+    # frames→features program (Pallas valid-skip: measured 0.70x warp
+    # time at 2/8 occupancy, zero overhead when all slots are real).
+    # Matches the reference, which only embeds detected faces
+    # (src/main.cpp:226). bench.py sets False so the headline keeps
+    # paying for all K slots regardless of detections (honesty contract).
+    skip_invalid_faces: bool = True
     param_dtype: str = "float32"
     # Mesh axis names used by parallel/ and train/.
     data_axis: str = "data"

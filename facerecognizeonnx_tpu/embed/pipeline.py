@@ -44,22 +44,46 @@ def align_faces_batch(
     kps: jnp.ndarray,
     boxes: jnp.ndarray,
     cfg: PipelineConfig,
+    valid: jnp.ndarray | None = None,
+    normalized: bool = False,
 ) -> jnp.ndarray:
     """Align K faces of each of B frames → (B, K, S, S, 3) in ONE gather.
 
-    frames: (B, H, W, 3); kps: (B, K, 5, 2); boxes: (B, K, 4)."""
+    frames: (B, H, W, 3); kps: (B, K, 5, 2); boxes: (B, K, 4).
+
+    normalized=True returns embed-ready (px-mean)/scale RGB instead of
+    raw BGR u8-range crops — on the Pallas path this is FUSED into the
+    warp kernel's epilogue (bf16 out, no separate normalize pass).
+    valid (B, K) skips invalid faces' warp work entirely on the Pallas
+    path (their crop slots are zeros); other impls mask after the warp.
+    """
     size = cfg.rec_input_size
     h, w = frames_u8.shape[1], frames_u8.shape[2]
     M_sel = _align_matrices(kps, boxes, h, w, size)  # (B, K, 2, 3)
     if cfg.warp_impl == "pallas":  # TPU-only Mosaic kernel (fastest)
         from facerecognizeonnx_tpu.ops.warp_pallas import warp_affine_pallas
 
-        return warp_affine_pallas(frames_u8.astype(jnp.uint8), M_sel, size)
+        return warp_affine_pallas(
+            frames_u8.astype(jnp.uint8),
+            M_sel,
+            size,
+            layout="xmajor",
+            epilogue=(cfg.pixel_mean, cfg.pixel_scale) if normalized else None,
+            valid=valid,
+        )
     if cfg.warp_impl == "banded":
         from facerecognizeonnx_tpu.ops.warp_banded import warp_affine_banded
 
-        return warp_affine_banded(frames_u8.astype(jnp.uint8), M_sel, size)
-    return warp_affine_batch(frames_u8, M_sel, size, size)
+        crops = warp_affine_banded(frames_u8.astype(jnp.uint8), M_sel, size)
+    else:
+        crops = warp_affine_batch(frames_u8, M_sel, size, size)
+    if normalized:
+        crops = normalize_to_rgb(crops, cfg.pixel_mean, cfg.pixel_scale)
+    if valid is not None:
+        # match the Pallas valid-skip contract: invalid slots are zeros
+        # in the OUTPUT space (raw or normalized alike)
+        crops = crops * valid[..., None, None, None].astype(crops.dtype)
+    return crops
 
 
 def align_faces(
@@ -83,10 +107,17 @@ def embed_crops(
     crops_bgr: jnp.ndarray,
     cfg: PipelineConfig,
     compute_dtype=None,
+    normalized: bool = False,
 ) -> jnp.ndarray:
-    """(K, 112, 112, 3) BGR crops → (K, 512) L2-normalized features."""
+    """(K, 112, 112, 3) BGR crops → (K, 512) L2-normalized features.
+
+    normalized=True: crops are ALREADY (px-mean)/scale RGB (the warp
+    kernel's fused epilogue emits them) — skip the normalize pass."""
     dtype = jnp.dtype(cfg.compute_dtype) if compute_dtype is None else compute_dtype
-    x = normalize_to_rgb(crops_bgr, cfg.pixel_mean, cfg.pixel_scale, dtype=dtype)
+    if normalized:
+        x = crops_bgr.astype(dtype)
+    else:
+        x = normalize_to_rgb(crops_bgr, cfg.pixel_mean, cfg.pixel_scale, dtype=dtype)
     if hasattr(params, "apply"):  # OnnxRunner from a real w600k_*.onnx
         feats = params.apply(x, dtype)
     else:  # native IResNet or MobileFaceNet pytree (structure-dispatched)
@@ -109,8 +140,11 @@ def embed_program(
     slots are zeroed to make misuse obvious, matching the reference's
     empty-vector return on failure (src/face_recognizer.cpp:254-257).
     """
-    crops = align_faces(image_u8, kps, boxes, cfg)
-    feats = embed_crops(params, crops, cfg, compute_dtype)
+    crops = align_faces_batch(
+        image_u8[None], kps[None], boxes[None], cfg,
+        valid=valid[None], normalized=True,
+    )[0]
+    feats = embed_crops(params, crops, cfg, compute_dtype, normalized=True)
     return feats * valid[:, None].astype(feats.dtype)
 
 

@@ -6,10 +6,21 @@ TPU program for the whole network — the role ONNX Runtime's CPU EP plays
 in the reference (src/face_detector.cpp:179-183), minus the per-node
 interpreter overhead.
 
-Conventions: ONNX activations are NCHW / weights OIHW; the executor
-keeps that layout (XLA re-layouts for TPU under jit). Shape-math
+Conventions: ONNX activations are NCHW / weights OIHW; the default
+executor keeps that layout (XLA re-layouts for TPU under jit). Shape-math
 subgraphs (Shape→Gather→Unsqueeze→Concat→Reshape chains from torch
 exports) are constant-folded in numpy so they never become traced ops.
+
+NHWC fast path (`Executor(graph, nhwc=True)`): the TPU-native layout
+mode for graphs the native mappers can't claim (e.g. det_500m's NAS
+backbone — native_map.py only maps recognizer topologies). Activations
+through conv-dense segments flow NHWC with HWIO weights — the layout
+XLA:TPU wants, so no re-layout copies — tagged with a `_NHWC` wrapper;
+any layout-SENSITIVE op (Reshape/Transpose/Shape/Gemm/...) transparently
+untags its inputs back to NCHW first, so arbitrary graphs stay correct:
+for SCRFD exports the only untag points are the 9 tiny head tensors.
+`compute_dtype=bf16` additionally runs conv math at bf16 with f32
+accumulation, matching the native models' activation flow.
 """
 
 from __future__ import annotations
@@ -42,12 +53,30 @@ def _pads4(node):
     return (t, b), (l, r)
 
 
+class _NHWC:
+    """Layout tag: a 4D activation currently stored NHWC (logical NCHW)."""
+
+    __slots__ = ("a",)
+
+    def __init__(self, a):
+        self.a = a
+
+
+def _untag(v):
+    if isinstance(v, _NHWC):
+        return jnp.transpose(v.a, (0, 3, 1, 2))
+    return v
+
+
 class Executor:
     """Evaluates a parsed Graph. Op registry covers the convnet subset
     used by SCRFD/ArcFace exports plus common glue ops."""
 
-    def __init__(self, graph: proto.Graph):
+    def __init__(self, graph: proto.Graph, nhwc: bool = False,
+                 compute_dtype=None):
         self.graph = graph
+        self.nhwc = nhwc
+        self.compute_dtype = compute_dtype
         self.init = {k: v for k, v in graph.initializers.items()}
         init_names = set(self.init)
         self.input_names = [
@@ -56,25 +85,41 @@ class Executor:
 
     # ------------------------------------------------------------------ run
 
-    def run(self, inputs: Dict[str, Any]) -> List[Any]:
+    def run(self, inputs: Dict[str, Any], nhwc_inputs: bool = False) -> List[Any]:
+        """nhwc_inputs: 4D runtime inputs are ALREADY NHWC (skips the
+        NHWC→NCHW→NHWC round trip when the caller holds NHWC frames);
+        only meaningful with nhwc=True."""
         values: Dict[str, Any] = dict(self.init)
-        values.update(inputs)
+        for k, v in inputs.items():
+            if self.nhwc and nhwc_inputs and jnp.ndim(v) == 4:
+                values[k] = _NHWC(v)
+            else:
+                values[k] = v
         for node in self.graph.nodes:
-            fn = getattr(self, f"op_{node.op_type.lower()}", None)
-            if fn is None:
-                from facerecognizeonnx_tpu.errors import UnsupportedOnnxOp
+            out = None
+            if self.nhwc:
+                handler = getattr(self, f"nhwc_{node.op_type.lower()}", None)
+                if handler is not None:
+                    args = [values[i] if i else None for i in node.inputs]
+                    out = handler(node, args)
+            if out is None:
+                fn = getattr(self, f"op_{node.op_type.lower()}", None)
+                if fn is None:
+                    from facerecognizeonnx_tpu.errors import UnsupportedOnnxOp
 
-                raise UnsupportedOnnxOp(
-                    f"ONNX op {node.op_type!r} (node {node.name!r}) not supported"
-                )
-            args = [values[i] if i else None for i in node.inputs]
-            out = fn(node, args)
+                    raise UnsupportedOnnxOp(
+                        f"ONNX op {node.op_type!r} (node {node.name!r}) not supported"
+                    )
+                args = [
+                    _untag(values[i]) if i else None for i in node.inputs
+                ]
+                out = fn(node, args)
             if not isinstance(out, (tuple, list)):
                 out = (out,)
             for name, val in zip(node.outputs, out):
                 if name:
                     values[name] = val
-        return [values[o] for o in self.graph.outputs]
+        return [_untag(values[o]) for o in self.graph.outputs]
 
     # ------------------------------------------------------------- conv etc
 
@@ -433,3 +478,211 @@ class Executor:
         mode = _attr(node, "mode", b"nearest")
         method = "nearest" if mode in (b"nearest", "nearest") else "linear"
         return jax.image.resize(x, tuple(sizes), method=method)
+
+    # -------------------------------------------------- NHWC fast-path ops
+    # Handlers return None to defer to the (untagging) base path. Conv
+    # output is the only TAG SOURCE; everything else just propagates tags
+    # through layout-agnostic math, so a graph with no conv runs exactly
+    # as before.
+
+    def _cdt(self, x):
+        return x if self.compute_dtype is None else x.astype(self.compute_dtype)
+
+    def nhwc_conv(self, node, args):
+        x, w = args[0], args[1]
+        if not isinstance(w, (np.ndarray, np.generic)):
+            return None  # dynamic weights: stay on the reference path
+        if isinstance(x, _NHWC):
+            xa = x.a
+        else:
+            xa = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+        b = args[2] if len(args) > 2 else None
+        strides = [int(s) for s in _attr(node, "strides", [1, 1])]
+        dilations = [int(d) for d in _attr(node, "dilations", [1, 1])]
+        group = int(_attr(node, "group", 1))
+        (pt, pb), (pl_, pr) = _pads4(node)
+        auto_pad = _attr(node, "auto_pad")
+        if auto_pad and auto_pad not in (b"NOTSET", "NOTSET"):
+            return None  # rare; keep the single tested auto_pad codepath
+        w_hwio = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))  # OIHW → HWIO
+        y = jax.lax.conv_general_dilated(
+            self._cdt(xa),
+            self._cdt(w_hwio),
+            window_strides=strides,
+            padding=[(pt, pb), (pl_, pr)],
+            rhs_dilation=dilations,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=group,
+            preferred_element_type=jnp.float32,
+        )
+        if b is not None:
+            y = y + jnp.asarray(b, jnp.float32).reshape(1, 1, 1, -1)
+        return _NHWC(self._cdt(y))
+
+    def nhwc_batchnormalization(self, node, args):
+        x = args[0]
+        if not isinstance(x, _NHWC):
+            return None
+        scale, bias, mean, var = (
+            jnp.asarray(a, jnp.float32) for a in args[1:5]
+        )
+        eps = float(_attr(node, "epsilon", 1e-5))
+        inv = jax.lax.rsqrt(var + eps) * scale
+        y = x.a * inv.reshape(1, 1, 1, -1) + (bias - mean * inv).reshape(
+            1, 1, 1, -1
+        )
+        return _NHWC(self._cdt(y))
+
+    def nhwc_prelu(self, node, args):
+        x, slope = args[0], args[1]
+        if not isinstance(x, _NHWC):
+            return None
+        s = jnp.asarray(slope)
+        if s.ndim == 1:
+            s = s.reshape(1, 1, 1, -1)
+        elif s.ndim == 3:  # ONNX (C, 1, 1) → NHWC (1, 1, 1, C)
+            s = s.reshape(1, 1, 1, -1) if s.shape[1:] == (1, 1) else None
+            if s is None:
+                return None
+        else:
+            return None
+        return _NHWC(jnp.where(x.a >= 0, x.a, x.a * s.astype(x.a.dtype)))
+
+    def _nhwc_unary(self, args, fn):
+        x = args[0]
+        if not isinstance(x, _NHWC):
+            return None
+        return _NHWC(fn(x.a))
+
+    def nhwc_relu(self, node, args):
+        return self._nhwc_unary(args, lambda a: jnp.maximum(a, 0))
+
+    def nhwc_leakyrelu(self, node, args):
+        alpha = float(_attr(node, "alpha", 0.01))
+        return self._nhwc_unary(args, lambda a: jnp.where(a >= 0, a, a * alpha))
+
+    def nhwc_sigmoid(self, node, args):
+        return self._nhwc_unary(args, jax.nn.sigmoid)
+
+    def nhwc_identity(self, node, args):
+        x = args[0]
+        return x if isinstance(x, _NHWC) else None
+
+    def nhwc_dropout(self, node, args):
+        x = args[0]
+        return x if isinstance(x, _NHWC) else None
+
+    def nhwc_clip(self, node, args):
+        x = args[0]
+        if not isinstance(x, _NHWC):
+            return None
+        lo = args[1] if len(args) > 1 and args[1] is not None else _attr(node, "min")
+        hi = args[2] if len(args) > 2 and args[2] is not None else _attr(node, "max")
+        a = x.a
+        if lo is not None:
+            a = jnp.maximum(a, jnp.asarray(lo).astype(a.dtype))
+        if hi is not None:
+            a = jnp.minimum(a, jnp.asarray(hi).astype(a.dtype))
+        return _NHWC(a)
+
+    def _nhwc_binop(self, args, fn):
+        a, b = args
+        if isinstance(a, _NHWC) and isinstance(b, _NHWC):
+            return _NHWC(fn(a.a, b.a))
+        for t, o in ((a, b), (b, a)):
+            if isinstance(t, _NHWC) and _is_static(o):
+                on = _np(o)
+                if on.ndim == 0 or on.size == 1:
+                    return _NHWC(fn(t.a, jnp.asarray(on.reshape(()))) if t is a
+                                 else fn(jnp.asarray(on.reshape(())), t.a))
+                if on.ndim == 4 and on.shape[0] == 1 and on.shape[2:] == (1, 1):
+                    oc = jnp.asarray(np.transpose(on, (0, 2, 3, 1)))
+                    return _NHWC(fn(t.a, oc) if t is a else fn(oc, t.a))
+        return None
+
+    def nhwc_add(self, node, args):
+        return self._nhwc_binop(args, jnp.add)
+
+    def nhwc_sub(self, node, args):
+        return self._nhwc_binop(args, jnp.subtract)
+
+    def nhwc_mul(self, node, args):
+        return self._nhwc_binop(args, jnp.multiply)
+
+    def nhwc_div(self, node, args):
+        return self._nhwc_binop(args, jnp.divide)
+
+    def nhwc_maxpool(self, node, args):
+        x = args[0]
+        if not isinstance(x, _NHWC):
+            return None
+        if _attr(node, "auto_pad") not in (None, b"NOTSET", "NOTSET"):
+            return None
+        kh, kw = (int(k) for k in _attr(node, "kernel_shape"))
+        sh, sw = (int(s) for s in _attr(node, "strides", [1, 1]))
+        (pt, pb), (pl_, pr) = _pads4(node)
+        y = jax.lax.reduce_window(
+            x.a, jnp.asarray(-jnp.inf, x.a.dtype),
+            jax.lax.max,
+            window_dimensions=(1, kh, kw, 1),
+            window_strides=(1, sh, sw, 1),
+            padding=((0, 0), (pt, pb), (pl_, pr), (0, 0)),
+        )
+        return _NHWC(y)
+
+    def nhwc_averagepool(self, node, args):
+        x = args[0]
+        if not isinstance(x, _NHWC):
+            return None
+        if _attr(node, "auto_pad") not in (None, b"NOTSET", "NOTSET"):
+            return None
+        kh, kw = (int(k) for k in _attr(node, "kernel_shape"))
+        sh, sw = (int(s) for s in _attr(node, "strides", [1, 1]))
+        (pt, pb), (pl_, pr) = _pads4(node)
+        summed = jax.lax.reduce_window(
+            x.a.astype(jnp.float32), 0.0, jax.lax.add,
+            window_dimensions=(1, kh, kw, 1),
+            window_strides=(1, sh, sw, 1),
+            padding=((0, 0), (pt, pb), (pl_, pr), (0, 0)),
+        )
+        return _NHWC(self._cdt(summed / (kh * kw)))
+
+    def nhwc_globalaveragepool(self, node, args):
+        x = args[0]
+        if not isinstance(x, _NHWC):
+            return None
+        y = jnp.mean(x.a.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        return _NHWC(self._cdt(y))
+
+    def nhwc_upsample(self, node, args):
+        x = args[0]
+        if not isinstance(x, _NHWC):
+            return None
+        scales = _attr(node, "scales")
+        if scales is None:
+            if len(args) < 2 or not _is_static(args[1]):
+                return None
+            scales = _np(args[1]).tolist()
+        sn, sc, sh, sw = (float(s) for s in scales)  # logical NCHW order
+        a = x.a
+        sizes = (
+            int(round(a.shape[0] * sn)),
+            int(round(a.shape[1] * sh)),
+            int(round(a.shape[2] * sw)),
+            int(round(a.shape[3] * sc)),
+        )
+        mode = _attr(node, "mode", b"nearest")
+        method = "nearest" if mode in (b"nearest", "nearest") else "linear"
+        return _NHWC(jax.image.resize(a, sizes, method=method))
+
+    def nhwc_spacetodepth(self, node, args):
+        x = args[0]
+        if not isinstance(x, _NHWC):
+            return None
+        bs = int(_attr(node, "blocksize"))
+        a = x.a
+        n, h, w, c = a.shape
+        a = a.reshape(n, h // bs, bs, w // bs, bs, c)
+        # ONNX channel order (by, bx, c)
+        a = jnp.transpose(a, (0, 1, 3, 2, 4, 5))
+        return _NHWC(a.reshape(n, h // bs, w // bs, bs * bs * c))

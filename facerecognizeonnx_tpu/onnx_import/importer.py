@@ -31,10 +31,16 @@ from facerecognizeonnx_tpu.onnx_import.executor import Executor
 
 
 class OnnxRunner:
-    def __init__(self, path: str, kind: Optional[str] = None):
+    def __init__(self, path: str, kind: Optional[str] = None,
+                 fast: bool = True):
+        """fast=True executes the graph in the NHWC/HWIO layout XLA:TPU
+        wants (executor.py NHWC fast path) — the TPU-speed route for
+        graphs the native mappers can't claim (det_500m's NAS backbone);
+        fast=False keeps the reference NCHW interpretation."""
         self.path = path
         self.graph = proto.load_model(path)
-        self.executor = Executor(self.graph)
+        self.executor = Executor(self.graph, nhwc=fast)
+        self.fast = fast
         if not self.executor.input_names:
             raise ValueError(f"{path}: graph has no runtime inputs")
         self.input_name = self.executor.input_names[0]
@@ -51,12 +57,24 @@ class OnnxRunner:
 
     # The pipelines call params.apply(...) / treat this as the model.
     def apply(self, x_nhwc: jnp.ndarray, compute_dtype=jnp.float32):
-        x = jnp.transpose(x_nhwc.astype(jnp.float32), (0, 3, 1, 2))  # NCHW
-        outs = self.executor.run({self.input_name: x})
+        if self.fast:
+            # feed NHWC straight in — the fast path's conv-dense segments
+            # never leave NHWC, and conv math runs at compute_dtype with
+            # f32 accumulation like the native models
+            self.executor.compute_dtype = (
+                None if compute_dtype in (jnp.float32, None) else compute_dtype
+            )
+            outs = self.executor.run(
+                {self.input_name: x_nhwc.astype(jnp.float32)},
+                nhwc_inputs=True,
+            )
+        else:
+            x = jnp.transpose(x_nhwc.astype(jnp.float32), (0, 3, 1, 2))  # NCHW
+            outs = self.executor.run({self.input_name: x})
         if self.kind == "arcface":
             feats = jnp.asarray(outs[0])
             return feats.reshape(feats.shape[0], -1).astype(jnp.float32)
-        return self._classify_scrfd(outs, int(x.shape[2]))
+        return self._classify_scrfd(outs, int(x_nhwc.shape[1]))
 
     def _classify_scrfd(
         self, outs, input_size: int, num_anchors: int = 2

@@ -10,6 +10,7 @@ mesh (parallel/sharded_ops.sharded_batch_embed).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -17,9 +18,66 @@ import jax.numpy as jnp
 import numpy as np
 
 from facerecognizeonnx_tpu.config import PipelineConfig
-from facerecognizeonnx_tpu.embed.pipeline import align_faces
 from facerecognizeonnx_tpu.match.gallery import GalleryBank
-from facerecognizeonnx_tpu.types import face_boxes_to_arrays
+
+
+def _bucket_detect_align(detector, names, images, cfg):
+    """Shape-bucketed batched detect + batched align.
+
+    Images are grouped by (H, W): each group runs ONE batched
+    letterbox→detect program and ONE batched align program on the
+    ORIGINAL-resolution frames (full alignment quality — the letterboxed
+    frame is only used for detection, like the reference which detects
+    at 640 but aligns at source resolution, src/face_recognizer.cpp:93).
+    Returns (kept_names, crops (N, S, S, 3) u8).
+    """
+    from facerecognizeonnx_tpu.detect.pipeline import detect_batch_program
+    from facerecognizeonnx_tpu.embed.pipeline import align_faces_batch
+    from facerecognizeonnx_tpu.ops.image import letterbox
+
+    buckets = {}
+    for i, img in enumerate(images):
+        buckets.setdefault(img.shape, []).append(i)
+
+    size = cfg.det_input_size
+
+    @functools.lru_cache(maxsize=16)
+    def programs(shape):
+        def detect_bucket(frames):
+            padded, scale = jax.vmap(lambda f: letterbox(f, size))(frames)
+            dets = detect_batch_program(detector.params, padded, cfg)
+            return dets, scale
+
+        def align_bucket(frames, kps, boxes):
+            return align_faces_batch(frames, kps, boxes, cfg)
+
+        return jax.jit(detect_bucket), jax.jit(align_bucket)
+
+    kept_names: List[str] = []
+    crops: List[np.ndarray] = []
+    for shape, idxs in buckets.items():
+        frames = np.stack([images[i] for i in idxs])
+        detect_fn, align_fn = programs(shape)
+        dets, scale = detect_fn(jnp.asarray(frames))
+        valid = np.asarray(dets.valid[:, 0])
+        inv_scale = (1.0 / np.asarray(scale))[:, None]
+        # best face per image (slot 0 — postprocess compacts by score),
+        # rescaled from letterboxed to source pixels (/scale, reference
+        # src/face_detector.cpp:255-258)
+        boxes = np.asarray(dets.boxes[:, 0]) * inv_scale
+        kps = np.asarray(dets.kps[:, 0]) * inv_scale[..., None]
+        batch_crops = np.asarray(
+            align_fn(
+                jnp.asarray(frames),
+                jnp.asarray(kps[:, None]),
+                jnp.asarray(boxes[:, None]),
+            )
+        )[:, 0]
+        for j, i in enumerate(idxs):
+            if valid[j]:
+                kept_names.append(names[i])
+                crops.append(batch_crops[j].astype(np.uint8))
+    return kept_names, crops
 
 
 def enroll_batch(
@@ -33,31 +91,16 @@ def enroll_batch(
 ) -> Tuple[GalleryBank, List[str]]:
     """Detect the best face per image, align all, embed as one batch.
 
-    Returns (bank, enrolled_names). Images with no detected face are
-    skipped (reported by omission from enrolled_names).
+    Detection and alignment are shape-bucketed BATCHED programs (one
+    dispatch per distinct image shape, not per image); all crops embed
+    in ONE data-parallel program (parallel/sharded_ops). Returns
+    (bank, enrolled_names) — images with no detected face are skipped
+    (reported by omission from enrolled_names).
     """
     cfg = cfg or detector.cfg
     bank = bank or GalleryBank(cfg.feature_dim)
 
-    crops = []
-    kept_names = []
-    align_cache = {}
-    for name, image in zip(names, images):
-        faces = detector.detect(image)
-        if not faces:
-            continue
-        dets = face_boxes_to_arrays(faces[:1], 1)
-        key = image.shape
-        if key not in align_cache:
-            align_cache[key] = jax.jit(
-                lambda img, kps, boxes: align_faces(img, kps, boxes, cfg)
-            )
-        crop = align_cache[key](
-            jnp.asarray(image), jnp.asarray(dets.kps), jnp.asarray(dets.boxes)
-        )[0]
-        crops.append(np.asarray(crop, np.uint8))
-        kept_names.append(name)
-
+    kept_names, crops = _bucket_detect_align(detector, names, images, cfg)
     if not crops:
         return bank, []
 

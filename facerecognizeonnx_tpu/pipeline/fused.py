@@ -54,11 +54,20 @@ def frames_to_features(
         valid=dets.valid[:, :k],
     )
 
-    crops = align_faces_batch(frames_u8, top.kps, top.boxes, cfg)
+    # normalized=True fuses (px-mean)/scale + BGR→RGB + bf16 cast into
+    # the warp kernel's epilogue; valid skips unoccupied face slots'
+    # warp work entirely (the reference embeds only detected faces,
+    # src/main.cpp:226 — all-K bench frames still compute every slot)
+    crops = align_faces_batch(
+        frames_u8, top.kps, top.boxes, cfg,
+        valid=top.valid if cfg.skip_invalid_faces else None,
+        normalized=True,
+    )
     valids = top.valid
     b, kk = crops.shape[0], crops.shape[1]
     feats = embed_crops(
-        arc_params, crops.reshape((b * kk,) + crops.shape[2:]), cfg, dtype
+        arc_params, crops.reshape((b * kk,) + crops.shape[2:]), cfg, dtype,
+        normalized=True,
     )
     feats = feats.reshape(b, kk, -1) * valids[..., None].astype(jnp.float32)
     return dets, feats

@@ -170,3 +170,41 @@ def test_w600k_mbf_shaped_export_through_executor(rng):
     wn = np.asarray(l2_normalize(jnp.asarray(want)))
     cos = (gn * wn).sum(axis=1)
     assert (cos > 1 - 1e-3).all(), cos
+
+
+def test_nhwc_fast_path_equals_nchw_reference(det_onnx, rng):
+    """Executor(nhwc=True) — the TPU fast path for graphs the native
+    mappers can't claim — must agree with the NCHW reference
+    interpretation on the NAS glue graph (group convs, Transpose/Shape
+    chains forcing untag boundaries, scrambled 2-D outputs)."""
+    _, path, _ = det_onnx
+    fast = OnnxRunner(path, fast=True)
+    slow = OnnxRunner(path, fast=False)
+    assert fast.executor.nhwc and not slow.executor.nhwc
+    x = jnp.asarray(rng.uniform(-1, 1, (1, SIZE, SIZE, 3)).astype(np.float32))
+    got, want = fast.apply(x), slow.apply(x)
+    assert set(got) == set(want)
+    for s in got:
+        for gi, wi, name in zip(got[s], want[s], ("scores", "bbox", "kps")):
+            np.testing.assert_allclose(
+                np.asarray(gi), np.asarray(wi), atol=2e-5, rtol=1e-4,
+                err_msg=f"stride {s} {name}",
+            )
+
+
+def test_nhwc_fast_path_bf16_compute(det_onnx, rng):
+    """compute_dtype=bf16 through the NHWC path stays close to f32 —
+    the dtype the fused TPU pipeline actually feeds it."""
+    _, path, _ = det_onnx
+    runner = OnnxRunner(path, fast=True)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, SIZE, SIZE, 3)).astype(np.float32))
+    f32 = runner.apply(x)
+    bf = runner.apply(x, compute_dtype=jnp.bfloat16)
+    for s in f32:
+        # scores are post-sigmoid ∈ (0,1); tolerance is loose because
+        # the oracle weights are RANDOM (unnormalized activations
+        # amplify bf16 noise far beyond trained-model levels) — this
+        # asserts the dtype plumbing, not production accuracy
+        np.testing.assert_allclose(
+            np.asarray(bf[s][0]), np.asarray(f32[s][0]), atol=0.1
+        )

@@ -107,3 +107,95 @@ def test_xpass_bf16_within_lsb(rng):
     d = np.abs(f32 - bf)
     assert np.percentile(d, 99) <= 1.0, np.percentile(d, 99)
     assert d.max() <= 2.5, d.max()
+
+
+def _spread_matrices(rng, B, K):
+    return np.stack(
+        [
+            np.stack(
+                [
+                    _face_matrix(rng, scale=0.6, theta=0.3, tx=250, ty=180),
+                    _face_matrix(rng, scale=0.7, theta=-0.2, tx=380, ty=300),
+                    _face_matrix(rng, scale=0.2, theta=0.1, tx=60, ty=60),
+                    _face_matrix(rng, scale=0.9, theta=0.0, tx=500, ty=550),
+                ][:K]
+            )
+            for _ in range(B)
+        ]
+    )
+
+
+def test_xmajor_matches_ymajor(rng):
+    """The v5 transposed-pyramid kernel reproduces the y-major kernel
+    across mip levels and frame-edge windows (measured byte-identical
+    on v5e; interpret mode here)."""
+    frames = jnp.asarray(rng.integers(0, 256, (2, 640, 640, 3), dtype=np.uint8))
+    Ms = jnp.asarray(_spread_matrices(rng, 2, 4))
+    ref = np.asarray(warp_affine_pallas(frames, Ms, interpret=True))
+    got = np.asarray(
+        warp_affine_pallas(frames, Ms, interpret=True, layout="xmajor")
+    )
+    d = np.abs(got - ref)
+    assert d.max() <= 2.0, d.max()
+    assert np.median(d) <= 0.5
+
+
+def test_xmajor_epilogue_normalized_rgb(rng):
+    """epilogue=(mean, scale) emits embed-ready bf16 normalized RGB ==
+    normalize_to_rgb(raw warp) up to bf16 rounding."""
+    frames = jnp.asarray(rng.integers(0, 256, (1, 640, 640, 3), dtype=np.uint8))
+    Ms = jnp.asarray(_spread_matrices(rng, 1, 4))
+    raw = np.asarray(
+        warp_affine_pallas(frames, Ms, interpret=True, layout="xmajor")
+    )
+    got = np.asarray(
+        warp_affine_pallas(
+            frames, Ms, interpret=True, layout="xmajor", epilogue=(127.5, 128.0)
+        )
+    ).astype(np.float32)
+    assert got.dtype == np.float32  # cast from bf16 output
+    want = (raw[..., ::-1] - 127.5) / 128.0
+    assert np.abs(got - want).max() <= 2.0 / 128.0 + 0.01
+
+
+def test_xmajor_valid_skip(rng):
+    """valid=False slots come back all-zero; valid slots are unaffected
+    by the skip machinery."""
+    frames = jnp.asarray(rng.integers(0, 256, (2, 640, 640, 3), dtype=np.uint8))
+    Ms = jnp.asarray(_spread_matrices(rng, 2, 4))
+    valid = jnp.asarray([[True, False, True, False], [False, True, True, True]])
+    ref = np.asarray(
+        warp_affine_pallas(frames, Ms, interpret=True, layout="xmajor")
+    )
+    got = np.asarray(
+        warp_affine_pallas(
+            frames, Ms, interpret=True, layout="xmajor", valid=valid
+        )
+    )
+    v = np.asarray(valid)
+    assert (got[~v] == 0).all()
+    np.testing.assert_array_equal(got[v], ref[v])
+
+
+def test_align_faces_batch_normalized_contract(rng):
+    """align_faces_batch(normalized=True, valid=...) on the portable
+    gather path: invalid slots zero in normalized space, valid slots ==
+    normalize_to_rgb(raw)."""
+    from facerecognizeonnx_tpu.config import PipelineConfig
+    from facerecognizeonnx_tpu.embed.pipeline import align_faces_batch
+    from facerecognizeonnx_tpu.ops.image import normalize_to_rgb
+
+    cfg = PipelineConfig(warp_impl="gather")
+    frames = jnp.asarray(rng.integers(0, 256, (1, 320, 320, 3), dtype=np.uint8))
+    kps = jnp.asarray(
+        rng.uniform(100, 220, (1, 2, 5, 2)).astype(np.float32)
+    )
+    boxes = jnp.asarray([[[80, 80, 240, 240], [60, 60, 200, 200]]], jnp.float32)
+    valid = jnp.asarray([[True, False]])
+    raw = align_faces_batch(frames, kps, boxes, cfg)
+    got = np.asarray(
+        align_faces_batch(frames, kps, boxes, cfg, valid=valid, normalized=True)
+    )
+    want = np.asarray(normalize_to_rgb(raw, 127.5, 128.0))
+    assert (got[0, 1] == 0).all()
+    np.testing.assert_allclose(got[0, 0], want[0, 0], atol=1e-5)
