@@ -33,6 +33,12 @@ class GalleryBank:
         self.feature_dim = feature_dim
         self._names: List[str] = []
         self._feats = np.zeros((0, feature_dim), np.float32)
+        # device-resident copies of the bank, keyed by dtype name and
+        # invalidated on mutation: without this every search() pays a
+        # full host→device upload of the bank (205 MB at 100k×512 f32 —
+        # seconds on a tunneled host), and the bf16 copy exists AT REST
+        # instead of being re-cast per call
+        self._dev_cache: dict = {}
 
     def __len__(self) -> int:
         return len(self._names)
@@ -56,6 +62,7 @@ class GalleryBank:
             feat = feat / norm
         self._names.append(name)
         self._feats = np.concatenate([self._feats, feat], axis=0)
+        self._dev_cache.clear()
 
     def add_batch(self, names: Sequence[str], features: np.ndarray) -> None:
         feats = np.asarray(features, np.float32)
@@ -63,6 +70,20 @@ class GalleryBank:
         feats = np.where(norms > 0, feats / np.maximum(norms, 1e-20), feats)
         self._names.extend(names)
         self._feats = np.concatenate([self._feats, feats], axis=0)
+        self._dev_cache.clear()
+
+    def _device_feats(self, dtype=None):
+        """Bank rows on device at `dtype` (default f32), cached until the
+        bank mutates."""
+        import jax.numpy as jnp
+
+        key = "f32" if dtype is None else jnp.dtype(dtype).name
+        if key not in self._dev_cache:
+            arr = jnp.asarray(self._feats)
+            if dtype is not None:
+                arr = arr.astype(dtype)
+            self._dev_cache[key] = arr
+        return self._dev_cache[key]
 
     # ------------------------------------------------------------ search
 
@@ -72,6 +93,7 @@ class GalleryBank:
         top_k: int = 1,
         sharded: bool = False,
         method: str = "auto",
+        storage_dtype=None,
     ) -> Tuple[List[List[str]], np.ndarray]:
         """(Q, D) L2-normalized queries → (names [Q][top_k], sims (Q, top_k))
         on the (cos+1)/2 scale.
@@ -116,7 +138,7 @@ class GalleryBank:
             )
 
             sims, idx = gallery_topk_pallas(
-                jnp.asarray(queries), jnp.asarray(self._feats), top_k
+                jnp.asarray(queries), self._device_feats(), top_k
             )
             sims, idx = np.asarray(sims), np.asarray(idx)
         elif method == "tiled":
@@ -139,19 +161,29 @@ class GalleryBank:
             )
 
             sims, idx = gallery_topk_tiled(
-                jnp.asarray(queries), jnp.asarray(self._feats), top_k, tile=512
+                jnp.asarray(queries), self._device_feats(), top_k, tile=512
             )
             sims, idx = np.asarray(sims), np.asarray(idx)
         else:
             import jax.numpy as jnp
 
-            from facerecognizeonnx_tpu.match.similarity import similarity_matrix
-
-            sim_all = np.asarray(
-                similarity_matrix(jnp.asarray(queries), jnp.asarray(self._feats))
+            from facerecognizeonnx_tpu.ops.pallas_gallery import (
+                gallery_topk_reference,
             )
-            idx = np.argsort(-sim_all, axis=1)[:, :top_k]
-            sims = np.take_along_axis(sim_all, idx, axis=1)
+
+            # storage_dtype=bf16 keeps the bank resident at half width —
+            # a CAPACITY option (102 vs 205 MB at 100k×512; top-1 recall
+            # parity tested in tests/test_pallas_gallery.py), NOT a
+            # throughput one: measured 145.8k q/s bf16-at-rest vs 153.1k
+            # f32 on v5e (BENCH_r03) — the search is not purely
+            # bandwidth-bound at this size, so f32 stays the default
+            bank = self._device_feats(storage_dtype)
+            q = jnp.asarray(queries)
+            s, i = gallery_topk_reference(
+                q if storage_dtype is None else q.astype(storage_dtype),
+                bank, top_k,
+            )
+            sims, idx = np.asarray(s), np.asarray(i)
         names = [[self._names[j] for j in row] for row in idx]
         return names, sims
 

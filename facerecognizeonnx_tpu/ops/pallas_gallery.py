@@ -141,9 +141,22 @@ def gallery_topk_pallas(
 
 
 def gallery_topk_reference(
-    queries: jnp.ndarray, gallery: jnp.ndarray, k: int
+    queries: jnp.ndarray, gallery: jnp.ndarray, k: int,
+    storage_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """XLA reference with identical semantics (materializes (Q, G))."""
+    """XLA reference with identical semantics (materializes (Q, G)).
+
+    storage_dtype=bf16 reads the gallery (and queries) at half width.
+    MEASURED NEGATIVE for throughput (BENCH_r03, v5e, 100k×512): bf16
+    at rest 145.8k q/s vs f32 153.1k — the bandwidth-floor hypothesis
+    did not survive contact; the search is not purely gallery-read
+    bound at this size. It remains the HBM-capacity option (half the
+    resident bytes; the matmul still accumulates f32; L2-normalized
+    features lose ~2^-8 relative per element, ~1e-4 on the summed
+    cosine — top-k recall parity tested in tests/test_pallas_gallery.py)."""
+    if storage_dtype is not None:
+        queries = queries.astype(storage_dtype)
+        gallery = gallery.astype(storage_dtype)
     sims = (jnp.dot(queries, gallery.T, preferred_element_type=jnp.float32) + 1.0) * 0.5
     s, i = jax.lax.top_k(sims, k)
     return s, i.astype(jnp.int32)

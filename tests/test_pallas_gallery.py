@@ -79,3 +79,30 @@ def test_tiled_topk_duplicate_heavy_tile(rng):
     # the packed tile supplies ≥3 of the 5 winners (row 7 is the query
     # itself at similarity 1.0 and rightly leads)
     assert len(set(np.asarray(i)[0].tolist()) & {130, 131, 132, 133}) >= 3
+
+
+def test_bf16_storage_recall_parity(rng):
+    """bf16 bank storage (f32 accumulate) must preserve top-k recall vs
+    the f32 reference on a realistic-density gallery (random
+    L2-normalized 512-d embeddings: sim std ≈ 1/√512 ≈ 0.044, far above
+    the ~1e-4 bf16-rounding error on the summed cosine)."""
+    import jax.numpy as jnp
+
+    from facerecognizeonnx_tpu.ops.pallas_gallery import gallery_topk_reference
+
+    g = rng.normal(size=(20_000, 512)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = jnp.asarray(g[:256])
+    gj = jnp.asarray(g)
+
+    s32, i32 = gallery_topk_reference(q, gj, 5)
+    sbf, ibf = gallery_topk_reference(q, gj, 5, storage_dtype=jnp.bfloat16)
+    i32, ibf = np.asarray(i32), np.asarray(ibf)
+    # top-1 (the identification decision) must match everywhere
+    np.testing.assert_array_equal(i32[:, 0], ibf[:, 0])
+    # top-5 sets overlap ≥ 99% (near-ties may permute)
+    overlap = np.mean([
+        len(set(a) & set(b)) / 5.0 for a, b in zip(i32, ibf)
+    ])
+    assert overlap >= 0.99, overlap
+    np.testing.assert_allclose(np.asarray(sbf), np.asarray(s32), atol=5e-3)
