@@ -46,7 +46,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--batch", type=int, default=None,
-        help="frames per step (default: 64 on TPU — best measured; 2 on CPU)",
+        help="frames per step (default: 128 on TPU — best measured once "
+        "the warp kernel's merged SMEM table made it compilable; 2 on CPU)",
     )
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
@@ -87,8 +88,9 @@ def main():
             print(*a, file=sys.stderr)
 
     on_tpu = not args.cpu and jax.devices()[0].platform != "cpu"
+    batch_was_default = args.batch is None
     if args.batch is None:
-        args.batch = 64 if on_tpu else 2
+        args.batch = 128 if on_tpu else 2
     # skip_invalid_faces=False: the headline pays for ALL K face slots
     # whether or not a detection occupies them (synthetic frames have
     # arbitrary detections — skipping would make the number dishonest)
@@ -197,8 +199,25 @@ def main():
         )
         return out
 
+    def headline_resilient():
+        """Headline at the default batch 128, falling back to 64 if the
+        large-batch program fails (the batch-64 operating point is the
+        round-2 proven one; the driver's number of record must survive a
+        flaky large-batch compile/tunnel rather than report nothing)."""
+        try:
+            return bench_headline(args, cfg, det_params, arc_params, log)
+        except Exception as e:
+            if not (batch_was_default and args.batch > 64):
+                raise
+            log(f"headline at batch {args.batch} FAILED ({e}); retry at 64")
+            import copy
+
+            args64 = copy.copy(args)
+            args64.batch = 64
+            return bench_headline(args64, cfg, det_params, arc_params, log)
+
     runners = {
-        "headline": lambda: bench_headline(args, cfg, det_params, arc_params, log),
+        "headline": headline_resilient,
         "headline_onnx": bench_headline_onnx,
         "headline_mbf": bench_headline_mbf,
         "headline_q8": bench_headline_q8,
@@ -367,10 +386,18 @@ def bench_gallery(args, log):
     q0 = jnp.asarray(g[:128])
     g = jnp.asarray(g)
 
+    # bf16 bank AT REST (cast once, outside the timed loop — matching
+    # GalleryBank's cached device copy). A per-call cast measured SLOWER
+    # than f32 (137k vs 152k q/s): the cast is loop-variant inside the
+    # scan, so it pays a full 205 MB read + 102 MB write per search.
+    g16 = g.astype(jnp.bfloat16)
+
     results = {}
     INNER = 20  # chained searches per dispatch: wall/INNER ≈ device time
     for name, fn in (
         ("xla_materialize", lambda q: gallery_topk_reference(q, g, 5)),
+        ("xla_bf16_at_rest", lambda q: gallery_topk_reference(
+            q.astype(jnp.bfloat16), g16, 5)),
         ("tiled512", lambda q: gallery_topk_tiled(q, g, 5, tile=512)),
         ("pallas_stream", lambda q: gallery_topk_pallas(q, g, 5)),
     ):

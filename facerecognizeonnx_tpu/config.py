@@ -64,8 +64,9 @@ class PipelineConfig:
     #   "gather" — exact cv2-bilinear parity (4 gather indices/pixel)
     #   "banded" — banded-gather + MXU interpolation matmuls (XLA)
     #   "pallas" — Mosaic kernel: per-face window DMA + MXU interpolation
-    #              (ops/warp_pallas.py, TPU only; 7.9ms vs 20ms for 64
-    #              faces on v5e; ≤0.5-LSB p99 deviation vs "gather")
+    #              (ops/warp_pallas.py x-major, TPU only; 8.79 ms/256
+    #              faces on v5e vs ~86 ms for the best gather form;
+    #              ≤0.5-LSB p99 deviation vs "gather")
     warp_impl: str = "gather"
     # Skip the alignment warp for UNOCCUPIED face slots in the fused
     # frames→features program (Pallas valid-skip: measured 0.70x warp

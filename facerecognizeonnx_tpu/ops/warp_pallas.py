@@ -1,19 +1,26 @@
-"""Pallas TPU warp kernel: per-face window DMA + MXU interpolation.
+"""Pallas TPU warp kernels: per-face window DMA + MXU interpolation.
 
 Every XLA-level warp formulation bottoms out in lax.gather, which on
 TPU costs per-index and tops out ~12 GB/s even for big windowed slices
-(docs/PERFORMANCE.md). This kernel bypasses gather entirely:
+(docs/PERFORMANCE.md). These kernels bypass gather entirely. Two
+layouts exist:
 
-  host prologue (XLA): 4-level channels-first mip pyramid
-      (B, 4, 3, PAD_H, PAD_W) bf16, level picked per face so its whole
-      source AABB fits the static (WIN_Y, WIN_X) = (128, 256) window
-  kernel, grid (faces,):
-      3 async DMAs pull the face's channel windows side-by-side into a
-      (128, 768) VMEM slab (double-buffered: face f+1's fetch overlaps
-      face f's compute); 7 chunks of 16 output rows each run in a
-      fori_loop — per chunk ONE (2048, 128)@(128, 768) bf16 MXU matmul
-      (y-pass, all channels at once) then an elementwise hat-weighted
-      x-reduction on the VPU
+x-major (v5, `layout="xmajor"`, THE SHIPPING KERNEL — 8.79 vs 21.46
+ms/256 faces on v5e, byte-identical output):
+  host prologue: 4-level mip pyramid (B, 4, 3, PAD_W, PAD_H) bf16 with
+      x in SUBLANES and y in LANES; per-face window (128, 256)
+  kernel, grid (faces,): per chunk ONE (3·128, 256)@(256, 1792) bf16
+      MXU matmul (y-pass, channels stacked in M), then the hat-weighted
+      x-reduction over SUBLANES — 16 vregs per channel instead of the
+      y-major kernel's 7-step cross-lane shuffle tree over 256 lanes,
+      which the round-2 accounting showed was the dominant VPU phase.
+  extras: fused normalize epilogue (embed-ready bf16 RGB out),
+      valid-slot skip, (k, N)-transposed scalar tables (SMEM pads each
+      prefetch-table row to 512 B — (N, k) cost 512 KB at N=1024).
+
+y-major (v3a, the round-2 kernel, kept for A/B history): window
+(WIN_Y, WIN_X) = (128, 256) with y in sublanes; per chunk one
+(1792, 128)@(128, 768) matmul then a cross-lane x-reduction.
 
 Semantics match ops/warp_banded.py (zero border, box-filtered mips for
 faces bigger than the window); level-0 faces are exact bilinear up to
@@ -234,6 +241,9 @@ XM_WIN_X = 128  # sublane dim: 16-aligned start + ≥111 coverage
 XM_WIN_Y = 256  # lane dim: 128-aligned start + ≥127 coverage
 XM_ALIGN_X, XM_ALIGN_Y = 16, 128
 XM_PAD_W, XM_PAD_H = 656, 768  # (x, y) canvas: W ≤ 640 ≤ 656-16, H ≤ 640 ≤ 768-128
+# fixed-point scales for the merged scalar table (see _kernel_xm)
+FP_COEF = float(1 << 20)
+FP_TX = float(1 << 16)
 
 
 def build_pyramid_xm(frames_u8: jnp.ndarray) -> jnp.ndarray:
@@ -260,14 +270,26 @@ def build_pyramid_xm(frames_u8: jnp.ndarray) -> jnp.ndarray:
     return pyr
 
 
-def _kernel_xm(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem,
+def _kernel_xm(params_ref, pyr_ref, out_ref, win_scr, sem,
                epilogue=None, skip_invalid=False):
     """x-major kernel, grid = (N,).
 
-    iparams are PACKED 2 int32/face (SMEM is the batch-128 limiter —
-    docs/PERFORMANCE.md round-2 note): word0 = b<<8 | lvl<<4 | valid,
-    word1 = x_lo<<16 | y_lo. Same cross-face DMA double-buffering as the
-    y-major kernel.
+    ALL scalar params ride ONE (8, N) int32 table: rows 0-1 are packed
+    meta (row0 = b<<8 | lvl<<4 | valid, row1 = x_lo<<16 | y_lo), rows
+    2-5 the affine coefficients in Q·2^20 fixed point, rows 6-7 the
+    window-local translations in Q·2^16. Fixed point because Mosaic has
+    no SCALAR bitcast ('tpu.bitcast' wants vectors), and ONE table
+    because XLA:TPU charges each prefetched SMEM operand 512 B ×
+    grid-steps REGARDLESS of its shape (measured: s32[1024,2] and
+    f32[1024,6] both allocate 512 KB scoped SMEM) — two operands at
+    N=1024 hit the 1 MB SMEM ceiling exactly, which was the entire
+    batch-128 compile failure. Precision: 2^-20 px per output step /
+    2^-16 px absolute — far below the bf16 hat-weight quantization.
+    Range: coeffs clip to ±2000, translations to ±30000; any TRUE value
+    beyond that maps every sample outside the clip window [-2, WIN+1]
+    (window coords span ≤ 256), so clipping is semantically exact for
+    reachable transforms and keeps degenerate ones finite.
+    Same cross-face DMA double-buffering as the y-major kernel.
 
     epilogue=(mean, scale): emit embed-ready bf16 normalized RGB
     (channel 2-c, (px-mean)/scale) instead of raw f32 BGR — kills the
@@ -281,8 +303,8 @@ def _kernel_xm(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem,
     slot = lax.rem(f, 2)
 
     def meta(face):
-        w0 = iparams_ref[face, 0]
-        w1 = iparams_ref[face, 1]
+        w0 = params_ref[0, face]
+        w1 = params_ref[1, face]
         b = lax.shift_right_logical(w0, 8)
         lvl = lax.bitwise_and(lax.shift_right_logical(w0, 4), 0xF)
         valid = lax.bitwise_and(w0, 0xF)
@@ -321,12 +343,15 @@ def _kernel_xm(iparams_ref, fparams_ref, pyr_ref, out_ref, win_scr, sem,
         for c in range(3):
             copy_for(f, slot, c).wait()
 
-    af = fparams_ref[f, 0]
-    bf_ = fparams_ref[f, 1]
-    cf = fparams_ref[f, 2]
-    df = fparams_ref[f, 3]
-    tx_loc = fparams_ref[f, 4]
-    ty_loc = fparams_ref[f, 5]
+    def fparam(k, scale):
+        return params_ref[2 + k, f].astype(jnp.float32) * (1.0 / scale)
+
+    af = fparam(0, FP_COEF)
+    bf_ = fparam(1, FP_COEF)
+    cf = fparam(2, FP_COEF)
+    df = fparam(3, FP_COEF)
+    tx_loc = fparam(4, FP_TX)
+    ty_loc = fparam(5, FP_TX)
 
     # pixel index in LANES (the y-major kernel put it in sublanes): the
     # interpolated row t and the x-weights then share the (win-dim,
@@ -443,22 +468,32 @@ def _warp_affine_pallas_xm(
     w1 = (
         (x_lo.astype(jnp.int32) << 16) | y_lo.astype(jnp.int32)
     ).reshape(-1)
-    iparams = jnp.stack([w0, w1], axis=-1)  # (N, 2) int32 — half the SMEM
-    fparams = jnp.stack(
+    # ONE merged (8, N) int32 fixed-point table: each prefetched SMEM
+    # operand costs 512 B × grid-steps regardless of shape, so a second
+    # operand alone exhausts SMEM at N=1024 (_kernel_xm docstring).
+    # nan_to_num keeps degenerate transforms (singular M → inf/nan
+    # inverse) finite; the clips are semantically exact (docstring).
+    def enc(v, scale, lim):
+        v = jnp.clip(jnp.nan_to_num(v.reshape(-1)), -lim, lim)
+        return jnp.round(v * scale).astype(jnp.int32)
+
+    params = jnp.stack(
         [
-            af.reshape(-1),
-            bf_.reshape(-1),
-            cf.reshape(-1),
-            df.reshape(-1),
-            (txf - x_lo).reshape(-1),
-            (tyf - y_lo).reshape(-1),
+            w0,
+            w1,
+            enc(af, FP_COEF, 2000.0),
+            enc(bf_, FP_COEF, 2000.0),
+            enc(cf, FP_COEF, 2000.0),
+            enc(df, FP_COEF, 2000.0),
+            enc(txf - x_lo, FP_TX, 30000.0),
+            enc(tyf - y_lo, FP_TX, 30000.0),
         ],
-        axis=-1,
-    ).astype(jnp.float32)  # (N, 6)
+        axis=0,
+    )  # (8, N) int32
 
     out_dtype = jnp.float32 if epilogue is None else jnp.bfloat16
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(N,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -476,7 +511,7 @@ def _warp_affine_pallas_xm(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, 4, CHUNKS * PIX), out_dtype),
         interpret=interpret,
-    )(iparams, fparams, pyramid)
+    )(params, pyramid)
 
     crops = out[:, :3].reshape(B, K, 3, OUT, OUT)
     return jnp.transpose(crops, (0, 1, 3, 4, 2))

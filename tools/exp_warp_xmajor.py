@@ -84,14 +84,29 @@ def main():
         print(f"{name}: {dt:7.2f} ms / {B * K} faces", flush=True)
         return dt
 
-    t_a = timed("A ymajor raw (ship)")
-    t_b = timed("B xmajor raw", layout="xmajor")
-    t_c = timed("C xmajor epilogue", layout="xmajor", epilogue=(127.5, 128.0))
-    t_d = timed("D xmajor valid 8/8", layout="xmajor", valid=valid_all)
-    t_e = timed("E xmajor valid 2/8", layout="xmajor", valid=valid_2of8)
-    print(f"B/A {t_b/t_a:.3f}  C/A {t_c/t_a:.3f}  D/B {t_d/t_b:.3f}  "
-          f"E/D {t_e/t_d:.3f}", flush=True)
+    def try_timed(name, **kw):
+        # per-variant isolation: the y-major kernel cannot compile at
+        # 1024 faces (its (N, k) scalar tables alone exhaust SMEM — the
+        # reason the x-major kernel merged them), and one variant's
+        # failure must not sink the others' numbers
+        try:
+            return timed(name, **kw)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+            return None
 
+    t_b = try_timed("B xmajor raw", layout="xmajor")
+    t_c = try_timed("C xmajor epilogue", layout="xmajor", epilogue=(127.5, 128.0))
+    t_d = try_timed("D xmajor valid 8/8", layout="xmajor", valid=valid_all)
+    t_e = try_timed("E xmajor valid 2/8", layout="xmajor", valid=valid_2of8)
+    t_a = try_timed("A ymajor raw (round-2 kernel)")
+    if t_a and t_b:
+        print(f"B/A {t_b/t_a:.3f}  C/A {t_c/t_a:.3f}  D/B {t_d/t_b:.3f}  "
+              f"E/D {t_e/t_d:.3f}", flush=True)
+
+    if t_a is None:
+        return  # y-major unavailable at this face count: skip parity
     # numeric parity on device
     c_a = np.asarray(jax.jit(lambda f: warp_affine_pallas(f, Ms))(frames))
     c_b = np.asarray(
