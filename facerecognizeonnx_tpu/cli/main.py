@@ -44,7 +44,28 @@ def _load_models(args):
     if quant != "none":
         # w8a8 = full int8 (4x smaller weights); w8a8-fast = selective
         # (wide convs only — the +14% throughput config, models/quant.py)
-        recognizer.quantize(min_channels=128 if quant == "w8a8-fast" else 0)
+        calib = None
+        calib_patterns = getattr(args, "quant_calib", None)
+        if calib_patterns:
+            from facerecognizeonnx_tpu.pipeline.enroll import detect_align_crops
+
+            paths = []
+            for pattern in calib_patterns:
+                if os.path.isdir(pattern):
+                    paths += sorted(glob.glob(os.path.join(pattern, "*")))
+                else:
+                    paths += sorted(glob.glob(pattern)) or [pattern]
+            images = [im for im in (imread(p) for p in paths) if im is not None]
+            crops = detect_align_crops(detector, images)
+            if len(crops):
+                calib = crops
+                print(f"int8 校准: {len(crops)} 张对齐人脸")
+            else:
+                print("int8 校准: 未检测到人脸, 回退到合成噪声")
+        recognizer.quantize(
+            calib_crops=calib,
+            min_channels=128 if quant == "w8a8-fast" else 0,
+        )
     print("\n所有模型加载成功!")
     return detector, recognizer
 
@@ -293,6 +314,47 @@ def mode_bench(args):
     mod.main()
 
 
+def mode_serve(args):
+    """HTTP identification service (pipeline/server.py): micro-batched
+    /identify + /enroll over the loaded models and gallery."""
+    detector, recognizer = _load_models(args)
+    from facerecognizeonnx_tpu.match.gallery import GalleryBank
+    from facerecognizeonnx_tpu.pipeline.server import make_server
+
+    bank = (
+        GalleryBank.load(args.gallery)
+        if os.path.exists(args.gallery)
+        else GalleryBank()
+    )
+    server = make_server(
+        detector, recognizer, bank, host=args.host, port=args.port
+    )
+    host, port = server.server_address[:2]
+    print(f"服务已启动: http://{host}:{port}  (gallery: {len(bank)} 条)")
+
+    # graceful drain on SIGTERM (the deployment kill signal): stop
+    # accepting, let in-flight micro-batches finish, persist the gallery
+    # in the finally below — same path as Ctrl-C
+    import signal
+
+    def _term(signum, frame):
+        import threading
+
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    prev = signal.signal(signal.SIGTERM, _term)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+        server.frt_service.close()
+        if args.gallery and len(bank):
+            bank.save(args.gallery)
+            print(f"gallery 已保存 → {args.gallery} ({len(bank)} 条)")
+
+
 def mode_export(args):
     """Serialize the recognizer back to a torch-export-shaped .onnx
     (onnx_export/) loadable by the reference binary's ORT loadModel
@@ -333,7 +395,7 @@ def main(argv=None):
     parser.add_argument(
         "mode",
         choices=["detect", "compare", "simple", "webcam", "enroll", "identify",
-                 "bench", "export"],
+                 "bench", "export", "serve"],
     )
     parser.add_argument("images", nargs="*")
     parser.add_argument("--det-model", default=None, help=".npz/.onnx detector weights")
@@ -365,11 +427,21 @@ def main(argv=None):
         "selective wide-conv int8 (fastest on TPU)",
     )
     parser.add_argument(
+        "--quant-calib",
+        nargs="+",
+        default=None,
+        metavar="IMAGE",
+        help="images (files/dirs/globs) whose detected+aligned faces "
+        "calibrate the int8 activation scales (default: synthetic noise)",
+    )
+    parser.add_argument(
         "--detector",
         action="store_true",
         help="export: write the SCRFD detector instead of the recognizer",
     )
     parser.add_argument("--show", action="store_true", help="open display windows")
+    parser.add_argument("--host", default="127.0.0.1", help="serve: bind host")
+    parser.add_argument("--port", type=int, default=8080, help="serve: bind port")
     parser.add_argument(
         "--cpu", action="store_true", help="run on host CPU instead of TPU"
     )
@@ -398,9 +470,10 @@ def main(argv=None):
         "identify": mode_identify,
         "bench": mode_bench,
         "export": mode_export,
+        "serve": mode_serve,
     }
     need = {"detect": 1, "compare": 2, "simple": 2, "webcam": 0, "enroll": 1,
-            "identify": 1, "bench": 0, "export": 1}
+            "identify": 1, "bench": 0, "export": 1, "serve": 0}
     if len(args.images) < need[args.mode]:
         print("无效的命令或参数")
         return -1

@@ -111,3 +111,22 @@ def enroll_batch(
     )
     bank.add_batch(kept_names, feats)
     return bank, kept_names
+
+
+def detect_align_crops(
+    detector,
+    images: Sequence[np.ndarray],
+    cfg: Optional[PipelineConfig] = None,
+    max_crops: int = 64,
+) -> np.ndarray:
+    """Detect + align the best face of each image → (N, S, S, 3) u8
+    crops (N ≤ max_crops; images with no face are dropped). The
+    CLI --quant-calib path uses this so int8 activation scales calibrate
+    on REAL aligned faces instead of synthetic noise
+    (FaceRecognizer.quantize's calib_crops parameter)."""
+    cfg = cfg or detector.cfg
+    names = [str(i) for i in range(len(images))]
+    _, crops = _bucket_detect_align(detector, names, list(images), cfg)
+    if not crops:
+        return np.zeros((0, cfg.rec_input_size, cfg.rec_input_size, 3), np.uint8)
+    return np.stack(crops[:max_crops])

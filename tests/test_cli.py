@@ -95,3 +95,76 @@ def test_simple_mode_quantized(jpegs, capsys):
     assert rc == 0
     assert "Recognizer quantized to w8a8 int8" in out
     assert "特征维度: 512" in out
+
+
+def test_quant_calib_flag(jpegs, capsys):
+    """--quant-calib detects+aligns the given images and calibrates the
+    int8 scales on those crops (random-weight detector fires on noise,
+    so crops exist)."""
+    rc = main([
+        "simple", jpegs[0], jpegs[1],
+        "--rec-arch", "iresnet18",
+        "--quant", "w8a8-fast", "--quant-calib", jpegs[0], jpegs[1],
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "int8 校准" in out
+    assert "quantized" in out
+    assert "相似度:" in out
+
+
+def test_serve_sigterm_persists_gallery(jpegs, tmp_path):
+    """CLI serve: SIGTERM (the deployment kill signal) drains the server
+    and persists the gallery — requires a real process (signal handlers
+    live in the main thread), so this drives the module entry point."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    gallery = str(tmp_path / "g.npz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONUNBUFFERED="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "facerecognizeonnx_tpu", "serve",
+         "--rec-arch", "iresnet18", "--gallery", gallery, "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        import re
+
+        port = None
+        deadline = time.time() + 300
+        for line in proc.stdout:
+            m = re.search(r"http://[0-9.]+:(\d+)", line)
+            if m:
+                port = int(m.group(1))
+                break
+            assert time.time() < deadline, "server never came up"
+        assert port, "startup line not seen"
+
+        with open(jpegs[0], "rb") as f:
+            img = f.read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/enroll?name=alice", data=img,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=420) as r:
+            import json
+
+            body = json.loads(r.read())
+        assert body["enrolled"] is True, body
+
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=180)
+        assert os.path.exists(gallery), "SIGTERM did not persist the gallery"
+
+        from facerecognizeonnx_tpu.match.gallery import GalleryBank
+
+        bank = GalleryBank.load(gallery)
+        assert len(bank) == 1 and "alice" in bank.names
+    finally:
+        if proc.poll() is None:
+            proc.kill()

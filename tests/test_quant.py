@@ -139,3 +139,43 @@ def test_strip_quantized_weights(folded_params):
     n_full = sum(v.size for v in jax.tree_util.tree_leaves(folded_params))
     n_strip = sum(v.size for v in jax.tree_util.tree_leaves(stripped))
     assert n_strip < n_full / 10  # conv/fc weights dominate the count
+
+
+def test_calibration_data_drives_activation_scales(folded_params):
+    """Real-crop calibration must produce different activation scales
+    than synthetic noise (the CLI --quant-calib path exists precisely
+    because scales are data-dependent), while both stay within
+    PTQ-grade cosine of bf16."""
+    noise = _crops(16, key=1)
+    # "real" stand-in: low-contrast, face-like smooth gradients — a very
+    # different activation distribution than full-range uniform noise
+    rng = np.random.default_rng(2)
+    base = rng.integers(90, 170, (16, 1, 1, 3)).astype(np.float32)
+    ramp = np.linspace(-20, 20, 112, dtype=np.float32)
+    smooth = base + ramp[None, :, None, None] + ramp[None, None, :, None]
+    real = jnp.asarray((np.clip(smooth, 0, 255) - 127.5) / 128.0)
+
+    q_noise = quant.quantize_recognizer(arcface.apply, folded_params, noise)
+    q_real = quant.quantize_recognizer(arcface.apply, folded_params, real)
+
+    s_noise = np.array(
+        [float(q["in_scale"]) for q in q_noise["convs"] if q is not None]
+    )
+    s_real = np.array(
+        [float(q["in_scale"]) for q in q_real["convs"] if q is not None]
+    )
+    assert s_noise.shape == s_real.shape and len(s_noise) > 0
+    # scales differ materially on most layers
+    rel = np.abs(s_noise - s_real) / np.maximum(s_noise, 1e-9)
+    assert (rel > 0.05).mean() > 0.5, rel
+
+    # calibrating on the real distribution keeps real-input fidelity
+    x = real[:4]
+    want = np.asarray(L.l2_normalize(arcface.apply(folded_params, x)))
+    got = np.asarray(
+        L.l2_normalize(
+            quant.apply_quantized(arcface.apply, folded_params, q_real, x)
+        )
+    )
+    cos = (want * got).sum(axis=1)
+    assert (cos > 0.95).all(), cos

@@ -68,3 +68,68 @@ def test_async_future(service, rng):
     fut = service.identify_async(img)
     res = fut.result(timeout=120)
     assert res.scores.shape == (8,)
+
+
+def test_http_server_roundtrip(rng):
+    """HTTP front-end (pipeline/server.py): enroll + identify + health
+    over real sockets, JSON contract intact."""
+    import http.client
+    import json as jsonlib
+    import threading
+
+    import cv2
+
+    from facerecognizeonnx_tpu.pipeline.api import FaceDetector, FaceRecognizer
+    from facerecognizeonnx_tpu.pipeline.server import make_server
+
+    cfg = PipelineConfig(compute_dtype="float32", rec_arch="iresnet18")
+    detector = FaceDetector(cfg)
+    detector.load_model()
+    recognizer = FaceRecognizer(cfg)
+    recognizer.load_model()
+    bank = GalleryBank()
+    server = make_server(detector, recognizer, bank, port=0,
+                         batch_window_ms=5)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        body = enc.tobytes()
+
+        def post(path):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request("POST", path, body=body,
+                         headers={"Content-Length": str(len(body))})
+            r = conn.getresponse()
+            return r.status, jsonlib.loads(r.read())
+
+        def get(path):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("GET", path)
+            r = conn.getresponse()
+            return r.status, jsonlib.loads(r.read())
+
+        status, health = get("/healthz")
+        assert status == 200 and health["status"] == "ok"
+
+        # random-weight detector fires on noise → enroll succeeds
+        status, resp = post("/enroll?name=alice")
+        assert status == 200 and resp["enrolled"] and resp["gallery_size"] == 1
+
+        status, resp = post("/identify?top_k=1")
+        assert status == 200
+        assert isinstance(resp["faces"], list) and resp["faces"]
+        face = resp["faces"][0]
+        assert len(face["box"]) == 4 and face["names"] == ["alice"]
+
+        status, resp = post("/enroll")  # missing name
+        assert status == 400
+
+        status, stats = get("/stats")
+        assert status == 200 and stats["requests"] >= 1
+    finally:
+        server.shutdown()
+        server.frt_service.close()
