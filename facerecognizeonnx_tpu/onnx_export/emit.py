@@ -299,10 +299,12 @@ def emit_scrfd_onnx(params, input_size: int = 640) -> bytes:
             t = e.name("tr")
             e.nodes.append(W.node("Transpose", [y], [t], perm=[0, 2, 3, 1]))
             r = e.name("out")
+            # 0 = copy the batch dim (ONNX Reshape semantics): the graph
+            # stays valid for any batch, not just the export batch of 1
             e.nodes.append(
-                W.node("Reshape", [t, shape_init([1, rows, cols])], [r])
+                W.node("Reshape", [t, shape_init([0, rows, cols])], [r])
             )
-            return (r, [1, rows, cols])
+            return (r, [None, rows, cols])
 
         outputs.append(
             {
@@ -318,7 +320,10 @@ def emit_scrfd_onnx(params, input_size: int = 640) -> bytes:
     g = W.graph(
         e.nodes,
         e.inits,
-        [("input", [1, 3, input_size, input_size])],
+        # batch dim unknown (empty Dimension): the Reshape heads use
+        # batch-copy semantics, so the graph accepts ANY batch — the
+        # fused pipeline feeds 64-frame batches through OnnxRunner
+        [("input", [None, 3, input_size, input_size])],
         ordered,
     )
     return W.model(g)

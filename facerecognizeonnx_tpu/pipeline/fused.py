@@ -39,7 +39,10 @@ def frames_to_features(
     """
     dtype = jnp.dtype(cfg.compute_dtype) if compute_dtype is None else compute_dtype
     x = normalize_to_rgb(frames_u8, cfg.pixel_mean, cfg.pixel_scale, dtype=dtype)
-    outs = scrfd.apply(det_params, x, compute_dtype=dtype)
+    if hasattr(det_params, "apply"):  # OnnxRunner from a real det_*.onnx
+        outs = det_params.apply(x, dtype)
+    else:
+        outs = scrfd.apply(det_params, x, compute_dtype=dtype)
     scores, boxes, kps = decode_outputs(outs, cfg.det_input_size, cfg.num_anchors)
 
     dets = jax.vmap(lambda s, b, k: postprocess(s, b, k, 1.0, cfg))(
