@@ -1,0 +1,123 @@
+"""SCRFD learning proof (round-3 roadmap: the recognizer has a
+train→recognize e2e test, the detector only had decode/NMS oracles).
+
+Trains the 500m detector briefly on synthetic bright-blob detection —
+BCE on anchor scores + masked L1 on the stride-unit bbox distances,
+through models/scrfd.apply(train=True) with BN-stat updates — then
+checks held-out blobs are detected by the REAL inference path
+(fold_inference_params → detect_batch_program → NMS) at the reference
+0.5 score threshold, localized on the blob.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from facerecognizeonnx_tpu.config import PipelineConfig
+from facerecognizeonnx_tpu.detect.decode import anchor_centers
+from facerecognizeonnx_tpu.detect.pipeline import detect_batch_program
+from facerecognizeonnx_tpu.models import scrfd
+from facerecognizeonnx_tpu.models.layers import update_bn_stats
+
+SIZE = 128
+BLOB_R = 14.0
+
+
+def _blob_image(rng, cx, cy):
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE].astype(np.float32)
+    blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * (BLOB_R / 2) ** 2)))
+    img = 20.0 + 30.0 * rng.random((SIZE, SIZE)) + 215.0 * blob
+    return np.clip(img, 0, 255)[..., None].repeat(3, axis=-1).astype(np.uint8)
+
+
+def _targets(cx, cy):
+    """Per-stride (score_target, bbox_target, pos_mask) for one blob box."""
+    x1, y1 = cx - BLOB_R, cy - BLOB_R
+    x2, y2 = cx + BLOB_R, cy + BLOB_R
+    out = {}
+    for stride in (8, 16, 32):
+        pts = anchor_centers(SIZE, stride)  # (N, 2) pixel centers
+        inside = (
+            (pts[:, 0] > x1) & (pts[:, 0] < x2)
+            & (pts[:, 1] > y1) & (pts[:, 1] < y2)
+        ).astype(np.float32)
+        dist = np.stack(
+            [pts[:, 0] - x1, pts[:, 1] - y1, x2 - pts[:, 0], y2 - pts[:, 1]],
+            axis=-1,
+        ) / stride  # stride units, the scrfd.apply output convention
+        out[stride] = (inside[:, None], dist.astype(np.float32), inside)
+    return out
+
+
+def test_scrfd_learns_blob_detection(rng):
+    params = scrfd.init_params(jax.random.PRNGKey(0), variant="500m")
+
+    n_train = 24
+    centers = rng.uniform(30, SIZE - 30, (n_train, 2)).astype(np.float32)
+    images = np.stack([_blob_image(rng, cx, cy) for cx, cy in centers])
+    x_train = jnp.asarray((images.astype(np.float32) - 127.5) / 128.0)
+    tgt = [_targets(cx, cy) for cx, cy in centers]
+    score_t = {
+        s: jnp.asarray(np.stack([t[s][0] for t in tgt])) for s in (8, 16, 32)
+    }
+    bbox_t = {
+        s: jnp.asarray(np.stack([t[s][1] for t in tgt])) for s in (8, 16, 32)
+    }
+    pos_t = {
+        s: jnp.asarray(np.stack([t[s][2] for t in tgt])) for s in (8, 16, 32)
+    }
+
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, x):
+        outs, stats = scrfd.apply(p, x, train=True)
+        loss = 0.0
+        for s in (8, 16, 32):
+            scores, bbox, _kps = outs[s]
+            eps = 1e-6
+            sc = jnp.clip(scores.astype(jnp.float32), eps, 1 - eps)
+            t = score_t[s]
+            # positives are rare: weight them up so the score head moves
+            bce = -(25.0 * t * jnp.log(sc) + (1 - t) * jnp.log(1 - sc))
+            loss = loss + bce.mean()
+            l1 = jnp.abs(bbox.astype(jnp.float32) - bbox_t[s])
+            w = pos_t[s][..., None]
+            loss = loss + (l1 * w).sum() / (w.sum() * 4 + 1)
+        return loss, stats
+
+    @jax.jit
+    def step(p, o, x):
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, x)
+        updates, o = opt.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        p = update_bn_stats(p, stats)
+        return p, o, loss
+
+    losses = []
+    for i in range(120):
+        params, opt_state, loss = step(params, opt_state, x_train)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.25, (losses[0], losses[-1])
+
+    # held-out blobs through the REAL inference path
+    cfg = PipelineConfig(det_input_size=SIZE, compute_dtype="float32",
+                         pre_nms_topk=64)
+    infer = scrfd.fold_inference_params(params)
+    held = rng.uniform(35, SIZE - 35, (4, 2)).astype(np.float32)
+    test_imgs = jnp.asarray(
+        np.stack([_blob_image(rng, cx, cy) for cx, cy in held])
+    )
+    dets = jax.jit(lambda im: detect_batch_program(infer, im, cfg))(test_imgs)
+    valid = np.asarray(dets.valid)
+    boxes = np.asarray(dets.boxes)
+    hits = 0
+    for i, (cx, cy) in enumerate(held):
+        if not valid[i].any():
+            continue
+        b = boxes[i][valid[i]]
+        bcx, bcy = (b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2
+        if np.any(np.hypot(bcx - cx, bcy - cy) < BLOB_R * 1.5):
+            hits += 1
+    assert hits >= 3, (hits, valid.sum(axis=1))
