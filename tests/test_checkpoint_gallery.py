@@ -97,3 +97,39 @@ def test_api_load_missing_file():
 
     rec = FaceRecognizer()
     assert rec.load_model("/nonexistent/model.npz") is False
+
+
+def test_gallery_device_cache_invalidated_on_add(rng):
+    """The device-resident bank cache (GalleryBank._device_feats) must be
+    dropped on mutation — a stale cache would silently search the OLD
+    bank after an enroll."""
+    import numpy as np
+
+    from facerecognizeonnx_tpu.match.gallery import GalleryBank
+
+    def unit(seed):
+        v = rng.normal(size=512).astype(np.float32)
+        return v / np.linalg.norm(v)
+
+    bank = GalleryBank()
+    a = unit(0)
+    bank.add("a", a)
+    names, sims = bank.search(a[None], top_k=1)
+    assert names[0][0] == "a"
+    assert bank._dev_cache  # populated by the search
+
+    b = unit(1)
+    bank.add("b", b)
+    assert not bank._dev_cache  # invalidated by the add
+    names, sims = bank.search(b[None], top_k=1)
+    assert names[0][0] == "b"  # the NEW row must win
+    assert sims[0][0] > 0.99
+
+    # add_batch invalidates too, and the bf16 capacity option coexists
+    c = unit(2)
+    bank.add_batch(["c"], c[None])
+    names, _ = bank.search(c[None], top_k=1, storage_dtype="bfloat16")
+    assert names[0][0] == "c"
+    names, _ = bank.search(c[None], top_k=1)
+    assert names[0][0] == "c"
+    assert len(bank._dev_cache) == 2  # f32 and bf16 copies cached
