@@ -200,6 +200,8 @@ def mode_webcam(args):
     if not cap.is_open():
         print("无法打开摄像头")
         return
+    if getattr(args, "track", False):
+        return _webcam_tracked(args, detector, recognizer, cap)
     ref_feature = None
     n_frames = 0
     t0 = time.time()
@@ -238,6 +240,44 @@ def mode_webcam(args):
     cap.release()
     if n_frames:
         print(f"frames={n_frames} fps={n_frames / dt:.1f}")
+
+
+def _webcam_tracked(args, detector, recognizer, cap):
+    """--track: IOU tracker + per-track embedding cache
+    (pipeline/track.py) — the embed runs only for new/refresh-due
+    tracks instead of every face of every frame (the reference's loop,
+    src/main.cpp:214-257). Headless-batched, so --enroll-first supplies
+    the reference feature from the first detected face."""
+    import itertools
+
+    from facerecognizeonnx_tpu.pipeline.track import TrackingVideoPipeline
+
+    frames = cap.frames()
+    ref_feature = None
+    if args.enroll_first:
+        for frame in frames:
+            faces = detector.detect(frame)
+            if faces:
+                ref_feature = recognizer.extract_feature(frame, faces[0])
+                print("已保存参考人脸特征")
+                frames = itertools.chain([frame], frames)
+                break
+
+    pipe = TrackingVideoPipeline(
+        detector.params, recognizer.params, detector.cfg, batch=4
+    )
+    n_frames, t0 = 0, time.time()
+    for _idx, dets, tracks in pipe.run(frames, ref_feature=ref_feature):
+        n_frames += 1
+    dt = time.time() - t0
+    cap.release()
+    s = pipe.stats()
+    if n_frames:
+        print(
+            f"frames={n_frames} fps={n_frames / dt:.1f} "
+            f"tracks={s['active_tracks']} "
+            f"embed_fraction={s['embed_fraction']:.2f}"
+        )
 
 
 def mode_enroll(args):
@@ -440,6 +480,12 @@ def main(argv=None):
         help="export: write the SCRFD detector instead of the recognizer",
     )
     parser.add_argument("--show", action="store_true", help="open display windows")
+    parser.add_argument(
+        "--track",
+        action="store_true",
+        help="webcam: IOU tracker + per-track embedding cache (embed "
+        "only new/refresh-due tracks instead of every face every frame)",
+    )
     parser.add_argument("--host", default="127.0.0.1", help="serve: bind host")
     parser.add_argument("--port", type=int, default=8080, help="serve: bind port")
     parser.add_argument(

@@ -168,3 +168,14 @@ def test_serve_sigterm_persists_gallery(jpegs, tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_webcam_tracked_headless(capsys):
+    """--track routes the webcam loop through the IOU tracker +
+    embedding cache (pipeline/track.py) and reports the embed fraction."""
+    rc = main(["webcam", "synthetic:320x240x6", "--track", "--enroll-first",
+               "--rec-arch", "iresnet18"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "embed_fraction=" in out
+    assert "frames=6" in out
