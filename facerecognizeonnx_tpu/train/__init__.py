@@ -3,6 +3,7 @@ from facerecognizeonnx_tpu.train.arcface_loss import (
     init_classifier,
     softmax_xent,
 )
+from facerecognizeonnx_tpu.train.fit import fit, warmup_cosine
 from facerecognizeonnx_tpu.train.trainer import TrainState, make_train_step
 
 __all__ = [
@@ -11,4 +12,6 @@ __all__ = [
     "softmax_xent",
     "TrainState",
     "make_train_step",
+    "fit",
+    "warmup_cosine",
 ]
