@@ -10,6 +10,9 @@ Extras (TPU-framework surface):
   enroll <dir|images...> --gallery g.npz     — batched gallery enrollment
   identify <image> --gallery g.npz           — 1:N search
   bench                                      — quick throughput check
+  serve --port 8080                          — HTTP identify/enroll service
+  export <out.onnx>                          — weights back to ONNX
+  train <data_root> --out w.npz              — ArcFace training (id folders)
 
 Headless by default: annotated images are written next to the input
 (`<name>_out.jpg`); `--show` opens windows when a display exists.
@@ -395,6 +398,69 @@ def mode_serve(args):
             print(f"gallery 已保存 → {args.gallery} ({len(bank)} 条)")
 
 
+def mode_train(args):
+    """Train the recognizer on an identity-folder dataset
+    (root/<identity>/*.jpg) and save .npz weights loadable via
+    --rec-model. Framework extension: the reference ships pre-trained
+    w600k weights only (models/README.md:15-19); here the same
+    partial-FC ArcFace recipe that produced them runs on the device
+    mesh (train/trainer.py + train/fit.py), with crash-safe resume from
+    --train-ckpt."""
+    import jax
+
+    from facerecognizeonnx_tpu.parallel.mesh import make_mesh
+    from facerecognizeonnx_tpu.train.data import IdentityFolderDataset
+    from facerecognizeonnx_tpu.train.fit import fit, warmup_cosine
+    from facerecognizeonnx_tpu.train.trainer import (
+        init_train_state,
+        make_train_step,
+    )
+    from facerecognizeonnx_tpu.utils.checkpoint import save_params
+
+    cfg = _cfg(args)
+    root = args.images[0]
+    detector = None
+    if args.align:
+        detector = FaceDetector(cfg)
+        if not detector.load_model(args.det_model):
+            print(f"无法加载人脸检测模型: {args.det_model}")
+            sys.exit(-1)
+    ds = IdentityFolderDataset(root, detector=detector, cfg=cfg,
+                               min_images_per_id=2)
+    if ds.num_classes < 2:
+        print(f"训练数据不足: {root} 下仅 {ds.num_classes} 个身份 (需要 ≥2)")
+        return -1
+    batch = min(args.batch, len(ds))
+    # data-parallel mesh over the largest device count dividing the batch
+    n_dev = len(jax.devices())
+    data_dim = max(d for d in range(1, n_dev + 1) if batch % d == 0)
+    mesh = make_mesh(
+        (cfg.data_axis, cfg.model_axis), (data_dim, 1),
+        devices=jax.devices()[:data_dim],
+    )
+    print(
+        f"训练: {ds.num_classes} 个身份 / {len(ds)} 张图像, "
+        f"batch {batch}, mesh data={data_dim}, arch {cfg.rec_arch}"
+    )
+    sched = warmup_cosine(args.lr, total_steps=args.steps)
+    state = init_train_state(
+        jax.random.PRNGKey(cfg.seed), num_classes=ds.num_classes, cfg=cfg,
+        arch=cfg.rec_arch, mesh=mesh, lr=sched,
+    )
+    step_fn = make_train_step(mesh, cfg, lr=sched, margin=args.margin)
+    ckpt = args.train_ckpt or args.out + ".ckpt"
+    with mesh:
+        state, _ = fit(
+            state, step_fn, ds.batches(batch, seed=cfg.seed), args.steps,
+            ckpt_path=ckpt, ckpt_every=args.ckpt_every, log_every=10,
+        )
+    save_params(args.out, jax.device_get(state.params))
+    print(
+        f"训练完成: {int(np.asarray(state.step))} 步 → {args.out} "
+        f"(身份数 {ds.num_classes}; 用 --rec-model {args.out} 加载)"
+    )
+
+
 def mode_export(args):
     """Serialize the recognizer back to a torch-export-shaped .onnx
     (onnx_export/) loadable by the reference binary's ORT loadModel
@@ -435,7 +501,7 @@ def main(argv=None):
     parser.add_argument(
         "mode",
         choices=["detect", "compare", "simple", "webcam", "enroll", "identify",
-                 "bench", "export", "serve"],
+                 "bench", "export", "serve", "train"],
     )
     parser.add_argument("images", nargs="*")
     parser.add_argument("--det-model", default=None, help=".npz/.onnx detector weights")
@@ -496,6 +562,24 @@ def main(argv=None):
         action="store_true",
         help="webcam: enroll the first detected face automatically (headless 's')",
     )
+    parser.add_argument("--steps", type=int, default=200, help="train: steps")
+    parser.add_argument("--batch", type=int, default=32, help="train: batch size")
+    parser.add_argument("--lr", type=float, default=0.02,
+                        help="train: peak LR (warmup-cosine schedule)")
+    parser.add_argument("--margin", type=float, default=0.5,
+                        help="train: ArcFace additive angular margin")
+    parser.add_argument("--out", default="trained_rec.npz",
+                        help="train: output .npz weights (--rec-model loadable)")
+    parser.add_argument("--train-ckpt", default=None,
+                        help="train: resume checkpoint path (default <out>.ckpt)")
+    parser.add_argument("--ckpt-every", type=int, default=0,
+                        help="train: checkpoint every N steps (0 = final only)")
+    parser.add_argument(
+        "--align",
+        action="store_true",
+        help="train: detect+align dataset crops through the loaded "
+        "detector instead of letterbox resize",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -517,14 +601,14 @@ def main(argv=None):
         "bench": mode_bench,
         "export": mode_export,
         "serve": mode_serve,
+        "train": mode_train,
     }
     need = {"detect": 1, "compare": 2, "simple": 2, "webcam": 0, "enroll": 1,
-            "identify": 1, "bench": 0, "export": 1, "serve": 0}
+            "identify": 1, "bench": 0, "export": 1, "serve": 0, "train": 1}
     if len(args.images) < need[args.mode]:
         print("无效的命令或参数")
         return -1
-    dispatch[args.mode](args)
-    return 0
+    return dispatch[args.mode](args) or 0
 
 
 if __name__ == "__main__":

@@ -179,3 +179,42 @@ def test_webcam_tracked_headless(capsys):
     assert rc == 0
     assert "embed_fraction=" in out
     assert "frames=6" in out
+
+
+def test_train_mode(tmp_path, capsys):
+    """CLI train: identity folders → .npz weights that load back through
+    the standard --rec-model path (framework extension; the reference
+    ships pre-trained weights only, models/README.md:15-19)."""
+    import cv2
+
+    root = tmp_path / "ids"
+    rng = np.random.default_rng(5)
+    for ident in range(2):
+        d = root / f"person_{ident}"
+        d.mkdir(parents=True)
+        base = np.kron(
+            np.random.default_rng(100 + ident).uniform(0, 255, (28, 28, 3)),
+            np.ones((4, 4, 1)),
+        )
+        for s in range(3):
+            img = np.clip(base + rng.normal(0, 10, base.shape), 0, 255)
+            cv2.imwrite(str(d / f"{s}.jpg"), img.astype(np.uint8))
+
+    out = str(tmp_path / "trained.npz")
+    rc = main(["train", str(root), "--steps", "2", "--batch", "4",
+               "--rec-arch", "iresnet18", "--lr", "0.01", "--out", out])
+    stdout = capsys.readouterr().out
+    assert rc == 0
+    assert "训练完成" in stdout and "2 步" in stdout
+    import os
+
+    assert os.path.exists(out)
+
+    # the trained weights drive the reference `simple` mode end-to-end
+    img = str(tmp_path / "probe.jpg")
+    cv2.imwrite(img, rng.integers(0, 256, (140, 140, 3), dtype=np.uint8))
+    rc = main(["simple", img, img, "--rec-model", out,
+               "--rec-arch", "iresnet18"])
+    stdout = capsys.readouterr().out
+    assert rc == 0
+    assert "特征维度: 512" in stdout
