@@ -28,28 +28,67 @@ def _on_tpu() -> bool:
         return False
 
 
+class _Store:
+    """One immutable-by-convention version of the bank: (names, feats)
+    plus the device-resident copies of THIS version. Mutations install a
+    whole new _Store, so a search that grabbed `self._store` once works
+    on a consistent snapshot even while another thread enrolls/removes
+    (the HTTP server's identify vs DELETE /enroll race — labels can
+    never misalign with rows, and a shrinking bank can never IndexError
+    a concurrent reader). The device cache avoids a full host→device
+    upload per search (205 MB at 100k×512 f32 — seconds on a tunneled
+    host) and keeps the bf16 copy AT REST instead of re-cast per call."""
+
+    __slots__ = ("names", "feats", "cache")
+
+    def __init__(self, names: List[str], feats: np.ndarray, cache=None):
+        self.names = names
+        self.feats = feats
+        self.cache: dict = {} if cache is None else cache
+
+
 class GalleryBank:
     def __init__(self, feature_dim: int = 512):
+        import threading
+
         self.feature_dim = feature_dim
-        self._names: List[str] = []
-        self._feats = np.zeros((0, feature_dim), np.float32)
-        # device-resident copies of the bank, keyed by dtype name and
-        # invalidated on mutation: without this every search() pays a
-        # full host→device upload of the bank (205 MB at 100k×512 f32 —
-        # seconds on a tunneled host), and the bf16 copy exists AT REST
-        # instead of being re-cast per call
-        self._dev_cache: dict = {}
+        self._store = _Store([], np.zeros((0, feature_dim), np.float32))
+        # serializes the mutators' read-modify-write of _store; readers
+        # never take it (they snapshot _store once)
+        self._mu = threading.Lock()
+
+    # internals kept as (settable) views for persistence/tests;
+    # assignment installs a fresh store = a mutation
+    @property
+    def _names(self) -> List[str]:
+        return self._store.names
+
+    @_names.setter
+    def _names(self, value) -> None:
+        self._store = _Store(list(value), self._store.feats)
+
+    @property
+    def _feats(self) -> np.ndarray:
+        return self._store.feats
+
+    @_feats.setter
+    def _feats(self, value) -> None:
+        self._store = _Store(self._store.names, value)
+
+    @property
+    def _dev_cache(self) -> dict:
+        return self._store.cache
 
     def __len__(self) -> int:
-        return len(self._names)
+        return len(self._store.names)
 
     @property
     def names(self) -> List[str]:
-        return list(self._names)
+        return list(self._store.names)
 
     @property
     def features(self) -> np.ndarray:
-        return self._feats
+        return self._store.feats
 
     def add(self, name: str, feature: np.ndarray) -> None:
         feat = np.asarray(feature, np.float32).reshape(1, -1)
@@ -60,30 +99,69 @@ class GalleryBank:
         norm = np.linalg.norm(feat)
         if norm > 0:
             feat = feat / norm
-        self._names.append(name)
-        self._feats = np.concatenate([self._feats, feat], axis=0)
-        self._dev_cache.clear()
+        with self._mu:
+            store = self._store
+            self._store = _Store(
+                store.names + [name],
+                np.concatenate([store.feats, feat], axis=0),
+            )
 
     def add_batch(self, names: Sequence[str], features: np.ndarray) -> None:
         feats = np.asarray(features, np.float32)
         norms = np.linalg.norm(feats, axis=1, keepdims=True)
         feats = np.where(norms > 0, feats / np.maximum(norms, 1e-20), feats)
-        self._names.extend(names)
-        self._feats = np.concatenate([self._feats, feats], axis=0)
-        self._dev_cache.clear()
+        with self._mu:
+            store = self._store
+            self._store = _Store(
+                store.names + list(names),
+                np.concatenate([store.feats, feats], axis=0),
+            )
 
-    def _device_feats(self, dtype=None):
-        """Bank rows on device at `dtype` (default f32), cached until the
-        bank mutates."""
+    def remove(self, name: str) -> int:
+        """Remove EVERY enrollment under `name` (a person may have
+        several rows); returns how many were removed. The device-
+        resident bank copies invalidate like any other mutation. The
+        reference's only 'gallery' is one in-memory webcam feature that
+        can merely be overwritten (src/main.cpp:211-212,253-256);
+        removal is a production-surface requirement (mis-enrollments,
+        data-deletion requests)."""
+        with self._mu:
+            store = self._store
+            keep = [i for i, n in enumerate(store.names) if n != name]
+            removed = len(store.names) - len(keep)
+            if removed:
+                self._store = _Store(
+                    [store.names[i] for i in keep], store.feats[keep]
+                )
+        return removed
+
+    def rename(self, old: str, new: str) -> int:
+        """Relabel every enrollment under `old` to `new`; returns the
+        row count. Features are untouched, so the device cache carries
+        over to the new store version."""
+        with self._mu:
+            store = self._store
+            names = [new if n == old else n for n in store.names]
+            n = sum(1 for a, b in zip(store.names, names) if a != b)
+            if n:
+                self._store = _Store(names, store.feats, cache=store.cache)
+        return n
+
+    def _device_feats(self, dtype=None, store: "_Store" = None):
+        """`store`'s rows on device at `dtype` (default f32), cached on
+        that store version (two racing fills upload twice, last wins —
+        benign)."""
         import jax.numpy as jnp
 
+        if store is None:
+            store = self._store
         key = "f32" if dtype is None else jnp.dtype(dtype).name
-        if key not in self._dev_cache:
-            arr = jnp.asarray(self._feats)
+        if key not in store.cache:
+            arr = jnp.asarray(store.feats)
             if dtype is not None:
                 arr = arr.astype(dtype)
-            self._dev_cache[key] = arr
-        return self._dev_cache[key]
+            store.cache[key] = arr
+        return store.cache[key]
 
     # ------------------------------------------------------------ search
 
@@ -115,20 +193,24 @@ class GalleryBank:
                 f"query shape {queries.shape} incompatible with "
                 f"{self.feature_dim}-d gallery"
             )
-        if len(self) == 0:
+        # ONE snapshot for the whole search: rows, labels, and device
+        # cache all come from the same bank version (concurrent
+        # enroll/remove installs a new _Store and cannot misalign us)
+        store = self._store
+        if not store.names:
             return [[] for _ in range(len(queries))], np.zeros((len(queries), 0))
-        top_k = min(top_k, len(self))
+        top_k = min(top_k, len(store.names))
         if sharded:
             from facerecognizeonnx_tpu.parallel.sharded_ops import (
                 sharded_topk_search,
             )
 
-            sims, idx = sharded_topk_search(queries, self._feats, top_k)
+            sims, idx = sharded_topk_search(queries, store.feats, top_k)
             sims, idx = np.asarray(sims), np.asarray(idx)
         elif method == "pallas" or (
             # (Q, G) too big to materialize → stream tiles through VMEM
             method == "auto"
-            and queries.shape[0] * len(self) > 2_000_000_000
+            and queries.shape[0] * len(store.names) > 2_000_000_000
             and _on_tpu()
         ):
             import jax.numpy as jnp
@@ -138,7 +220,7 @@ class GalleryBank:
             )
 
             sims, idx = gallery_topk_pallas(
-                jnp.asarray(queries), self._device_feats(), top_k
+                jnp.asarray(queries), self._device_feats(store=store), top_k
             )
             sims, idx = np.asarray(sims), np.asarray(idx)
         elif method == "tiled":
@@ -161,7 +243,8 @@ class GalleryBank:
             )
 
             sims, idx = gallery_topk_tiled(
-                jnp.asarray(queries), self._device_feats(), top_k, tile=512
+                jnp.asarray(queries), self._device_feats(store=store),
+                top_k, tile=512,
             )
             sims, idx = np.asarray(sims), np.asarray(idx)
         else:
@@ -177,23 +260,24 @@ class GalleryBank:
             # throughput one: measured 145.8k q/s bf16-at-rest vs 153.1k
             # f32 on v5e (BENCH_r03) — the search is not purely
             # bandwidth-bound at this size, so f32 stays the default
-            bank = self._device_feats(storage_dtype)
+            bank = self._device_feats(storage_dtype, store=store)
             q = jnp.asarray(queries)
             s, i = gallery_topk_reference(
                 q if storage_dtype is None else q.astype(storage_dtype),
                 bank, top_k,
             )
             sims, idx = np.asarray(s), np.asarray(i)
-        names = [[self._names[j] for j in row] for row in idx]
+        names = [[store.names[j] for j in row] for row in idx]
         return names, sims
 
     # ----------------------------------------------------------- persist
 
     def save(self, path: str) -> None:
+        store = self._store  # one consistent version on disk
         np.savez(
             path,
-            features=self._feats,
-            names=json.dumps(self._names),
+            features=store.feats,
+            names=json.dumps(store.names),
             feature_dim=self.feature_dim,
         )
 

@@ -155,6 +155,77 @@ class FaceDetector:
                 )
         return self._detect_jit(image, score_threshold, nms_threshold)
 
+    def detect_batch(self, images: Sequence[np.ndarray]) -> List[List[FaceBox]]:
+        """Batched detect: same-shaped BGR frames run as ONE device
+        program (on-device letterbox + detect_batch_program); mixed
+        shapes bucket by shape, one dispatch per bucket. Returns a
+        FaceBox list per image with the reference's int-truncated rects
+        — `detect(img)` semantics at batch throughput (the reference is
+        strictly one image per Run, src/face_detector.cpp:139-183)."""
+        if self.params is None:
+            print("Model not loaded!")
+            return [[] for _ in images]
+        results: List[List[FaceBox]] = [[] for _ in images]
+        buckets: dict = {}
+        for i, img in enumerate(images):
+            if img is None or img.size == 0 or img.ndim != 3:
+                continue
+            buckets.setdefault(img.shape, []).append(i)
+        size = self.cfg.det_input_size
+        for shape, idxs in buckets.items():
+            key = ("batch", shape)
+            if key not in self._jit_cache:
+                cfg = self.cfg
+                from facerecognizeonnx_tpu.detect.decode import decode_outputs
+                from facerecognizeonnx_tpu.detect.pipeline import (
+                    _forward,
+                    postprocess,
+                )
+                from facerecognizeonnx_tpu.ops.image import (
+                    letterbox,
+                    normalize_to_rgb,
+                )
+
+                def batch_fn(frames, _cfg=cfg):
+                    # exactly detect_program, vmapped: per-image scale
+                    # feeds postprocess so the /scale-BEFORE-NMS order
+                    # (reference src/face_detector.cpp:255-258 → :356)
+                    # and its int-rect IoU space match detect() per image
+                    padded, scale = jax.vmap(lambda f: letterbox(f, size))(frames)
+                    dtype = jnp.dtype(_cfg.compute_dtype)
+                    x = normalize_to_rgb(
+                        padded, _cfg.pixel_mean, _cfg.pixel_scale, dtype=dtype
+                    )
+                    outs = _forward(self.params, x, dtype)
+                    scores, boxes, kps = decode_outputs(
+                        outs, _cfg.det_input_size, _cfg.num_anchors
+                    )
+                    return jax.vmap(
+                        lambda s, b, k, sc: postprocess(s, b, k, sc, _cfg)
+                    )(scores, boxes, kps, scale)
+
+                self._jit_cache[key] = jax.jit(batch_fn)
+            frames = jnp.asarray(np.stack([images[i] for i in idxs]))
+            dets = self._jit_cache[key](frames)
+            boxes = np.asarray(dets.boxes)
+            scores = np.asarray(dets.scores)
+            kps = np.asarray(dets.kps)
+            valid = np.asarray(dets.valid)
+            for row, i in enumerate(idxs):
+                per_image = Detections(
+                    boxes=boxes[row],
+                    scores=scores[row],
+                    kps=kps[row],
+                    valid=valid[row],
+                ).to_face_boxes()
+                for f in per_image:
+                    x1, y1 = int(f.box[0]), int(f.box[1])
+                    x2 = int(f.box[0] + f.box[2])
+                    y2 = int(f.box[1] + f.box[3])
+                    f.box = (x1, y1, x2 - x1, y2 - y1)
+                results[i] = per_image
+        return results
+
     def _detect_jit(self, image, score_threshold, nms_threshold) -> Detections:
         key = (image.shape, score_threshold, nms_threshold)
         if key not in self._jit_cache:

@@ -8,12 +8,13 @@ CLI loop, src/main.cpp:214-257) — this is framework extension, not
 parity.
 
 Endpoints:
-  POST /identify[?top_k=K]   image bytes (JPEG/PNG/BMP) →
+  POST   /identify[?top_k=K]   image bytes (JPEG/PNG/BMP) →
       {"faces": [{"box": [x1,y1,x2,y2], "score": s,
                   "names": [...], "sims": [...]}]}
-  POST /enroll?name=NAME     image bytes → enrolls the best face
-  GET  /healthz              {"status": "ok", "gallery_size": N}
-  GET  /stats                micro-batching counters
+  POST   /enroll?name=NAME     image bytes → enrolls the best face
+  DELETE /enroll?name=NAME     removes every enrollment under NAME
+  GET    /healthz              {"status": "ok", "gallery_size": N}
+  GET    /stats                micro-batching counters
 
 Run: python -m facerecognizeonnx_tpu serve --port 8080 [--gallery g.npz]
 """
@@ -45,6 +46,7 @@ class _Handler(BaseHTTPRequestHandler):
     service: IdentifyService = None
     bank: GalleryBank = None
     enroll_fn = None
+    remove_fn = None
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -103,6 +105,21 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._reply(404, {"error": f"unknown path {url.path}"})
 
+    def do_DELETE(self):
+        url = urlparse(self.path)
+        if url.path != "/enroll":
+            self._reply(404, {"error": f"unknown path {url.path}"})
+            return
+        name = parse_qs(url.query).get("name", [""])[0]
+        if not name:
+            self._reply(400, {"error": "delete needs ?name="})
+            return
+        removed = self.remove_fn(name)
+        self._reply(200 if removed else 404, {
+            "removed": removed, "name": name,
+            "gallery_size": len(self.bank),
+        })
+
 
 def make_server(
     detector,
@@ -136,8 +153,13 @@ def make_server(
             bank.add(name, feat)
         return True
 
+    def remove(name: str) -> int:
+        with lock:
+            return bank.remove(name)
+
     handler = type("Handler", (_Handler,), {
         "service": service, "bank": bank, "enroll_fn": staticmethod(enroll),
+        "remove_fn": staticmethod(remove),
     })
     server = ThreadingHTTPServer((host, port), handler)
     server.frt_service = service  # for clean shutdown by the caller

@@ -109,3 +109,37 @@ def test_face_box_roundtrip():
     assert len(back) == 1
     assert back[0].box == pytest.approx(faces[0].box)
     np.testing.assert_allclose(back[0].landmarks, faces[0].landmarks)
+
+
+def test_detect_batch_matches_single(detector, image):
+    """detect_batch on [img, img2] must reproduce per-image detect()
+    exactly (same program weights, batched letterbox) — and handle a
+    bad frame slot with the empty-list guard."""
+    rng = np.random.default_rng(7)
+    image2 = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    batched = detector.detect_batch([image, None, image2])
+    singles = [detector.detect(image), [], detector.detect(image2)]
+    assert len(batched) == 3
+    assert batched[1] == []
+    for got, want in zip([batched[0], batched[2]], [singles[0], singles[2]]):
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g.box == w.box
+            assert g.score == pytest.approx(w.score, abs=1e-5)
+            np.testing.assert_allclose(g.landmarks, w.landmarks, atol=1e-2)
+
+
+def test_detect_batch_mixed_shapes(detector, image):
+    """Mixed resolutions bucket by shape (one dispatch per bucket)."""
+    rng = np.random.default_rng(8)
+    small = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+    batched = detector.detect_batch([image, small])
+    want_big, want_small = detector.detect(image), detector.detect(small)
+    assert len(batched[0]) == len(want_big)
+    assert [f.box for f in batched[0]] == [f.box for f in want_big]
+    assert len(batched[1]) == len(want_small)
+    assert [f.box for f in batched[1]] == [f.box for f in want_small]
+
+
+def test_detect_batch_unloaded_guard(image):
+    assert FaceDetector(CFG).detect_batch([image]) == [[]]

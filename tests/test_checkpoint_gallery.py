@@ -133,3 +133,70 @@ def test_gallery_device_cache_invalidated_on_add(rng):
     names, _ = bank.search(c[None], top_k=1)
     assert names[0][0] == "c"
     assert len(bank._dev_cache) == 2  # f32 and bf16 copies cached
+
+
+def test_gallery_remove_and_rename(rng):
+    bank = GalleryBank()
+    feats = rng.normal(size=(5, 512)).astype(np.float32)
+    bank.add_batch(["a", "b", "a", "c", "b"], feats)
+    q = (feats[:1] / np.linalg.norm(feats[0])).astype(np.float32)
+    names, _ = bank.search(q)
+    assert names[0][0] == "a"
+
+    assert bank.remove("a") == 2
+    assert len(bank) == 3 and bank.names == ["b", "c", "b"]
+    # device cache invalidated: the removed identity can't match anymore
+    names, _ = bank.search(q)
+    assert names[0][0] != "a"
+    assert bank.remove("missing") == 0
+
+    assert bank.rename("b", "bob") == 2
+    assert bank.names == ["bob", "c", "bob"]
+    names, sims = bank.search(q, top_k=3)
+    assert set(names[0]) == {"bob", "c"}
+
+
+def test_gallery_search_vs_remove_race(rng):
+    """search() must stay crash-free and label-consistent while another
+    thread enrolls/removes (the HTTP server's identify vs DELETE
+    /enroll): every search works on one atomic _Store snapshot."""
+    import threading
+
+    bank = GalleryBank(feature_dim=8)
+    feats = rng.normal(size=(64, 8)).astype(np.float32)
+    bank.add_batch([f"p{i}" for i in range(64)], feats)
+    q = (feats[:4] / np.linalg.norm(feats[:4], axis=1, keepdims=True)).astype(
+        np.float32
+    )
+    errors = []
+    stop = threading.Event()
+
+    def churn():
+        i = 0
+        while not stop.is_set():
+            bank.remove(f"p{i % 64}")
+            bank.add(f"p{i % 64}", feats[i % 64])
+            i += 1
+
+    def searcher():
+        try:
+            for _ in range(150):
+                names, sims = bank.search(q, top_k=3)
+                assert sims.shape == (4, 3)
+                for row in names:
+                    assert len(row) == 3
+                    assert all(n.startswith("p") for n in row)
+        except Exception as e:  # surfaced after join
+            errors.append(e)
+
+    t_churn = threading.Thread(target=churn)
+    searchers = [threading.Thread(target=searcher) for _ in range(2)]
+    t_churn.start()
+    for t in searchers:
+        t.start()
+    for t in searchers:
+        t.join(timeout=300)
+    stop.set()
+    t_churn.join(timeout=60)
+    assert not errors, errors
+    assert len(bank) == 64

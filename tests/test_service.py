@@ -130,6 +130,20 @@ def test_http_server_roundtrip(rng):
 
         status, stats = get("/stats")
         assert status == 200 and stats["requests"] >= 1
+
+        def delete(path):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("DELETE", path)
+            r = conn.getresponse()
+            return r.status, jsonlib.loads(r.read())
+
+        status, resp = delete("/enroll?name=alice")
+        assert status == 200 and resp["removed"] == 1
+        assert resp["gallery_size"] == 0
+        status, resp = delete("/enroll?name=alice")  # already gone
+        assert status == 404 and resp["removed"] == 0
+        status, resp = delete("/enroll")  # missing name
+        assert status == 400
     finally:
         server.shutdown()
         server.frt_service.close()
