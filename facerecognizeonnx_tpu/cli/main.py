@@ -250,14 +250,23 @@ def _webcam_tracked(args, detector, recognizer, cap):
     (pipeline/track.py) — the embed runs only for new/refresh-due
     tracks instead of every face of every frame (the reference's loop,
     src/main.cpp:214-257). Headless-batched, so --enroll-first supplies
-    the reference feature from the first detected face."""
+    the reference feature from the first detected face. An existing
+    --gallery file upgrades labels to 1:N identities (top-1 per track)."""
     import itertools
 
     from facerecognizeonnx_tpu.pipeline.track import TrackingVideoPipeline
 
+    bank = None
+    # --enroll-first keeps the reference's one-feature Match/Unknown
+    # semantics even if a gallery file happens to exist in cwd
+    if not args.enroll_first and args.gallery and os.path.exists(args.gallery):
+        from facerecognizeonnx_tpu.match.gallery import GalleryBank
+
+        bank = GalleryBank.load(args.gallery)
+        print(f"gallery: {len(bank)} 条 ({args.gallery}) — 1:N 标签")
     frames = cap.frames()
     ref_feature = None
-    if args.enroll_first:
+    if bank is None and args.enroll_first:
         for frame in frames:
             faces = detector.detect(frame)
             if faces:
@@ -270,7 +279,9 @@ def _webcam_tracked(args, detector, recognizer, cap):
         detector.params, recognizer.params, detector.cfg, batch=4
     )
     n_frames, t0 = 0, time.time()
-    for _idx, dets, tracks in pipe.run(frames, ref_feature=ref_feature):
+    for _idx, dets, tracks in pipe.run(
+        frames, ref_feature=ref_feature, bank=bank
+    ):
         n_frames += 1
     dt = time.time() - t0
     cap.release()

@@ -71,6 +71,7 @@ class Track:
     misses: int = 0
     frames_since_embed: int = 0  # counts from the last feature update
     label: str = ""
+    label_dirty: bool = False  # feature changed since the last 1:N label
 
     def needs_embed(self, refresh_every: int) -> bool:
         return self.feature is None or self.frames_since_embed >= refresh_every
@@ -201,6 +202,7 @@ class TrackingVideoPipeline:
             mixed = self.momentum * track.feature + (1.0 - self.momentum) * feat
             track.feature = mixed / max(np.linalg.norm(mixed), 1e-9)
         track.frames_since_embed = 0
+        track.label_dirty = True
 
     # ------------------------------------------------------------------ run
 
@@ -209,11 +211,19 @@ class TrackingVideoPipeline:
         frame_iter,
         ref_feature: Optional[np.ndarray] = None,
         match_threshold: Optional[float] = None,
+        bank=None,
     ):
         """Yields (frame_idx, dets_dict, tracks) per frame, where
         dets_dict has numpy boxes/scores/kps/valid (top-K slots, original
         -frame px) and tracks is the per-slot list of Track (None on
-        invalid slots) with .label set when a reference is enrolled."""
+        invalid slots).
+
+        Labeling: `bank` (a match.gallery.GalleryBank) labels each track
+        with its 1:N top-1 identity at the match threshold — one batched
+        search per micro-batch, re-run only for tracks whose cached
+        feature changed (label_dirty). Without a bank, `ref_feature`
+        gives the reference's webcam Match/Unknown semantics
+        (src/main.cpp:228-234). bank wins if both are passed."""
         import jax
         import jax.numpy as jnp
 
@@ -259,11 +269,35 @@ class TrackingVideoPipeline:
                             self._update_feature(t, feats[row, slot])
                 self.embed_frames += len(need_embed)
             self.total_frames += n
-            # labels + yield
+            # labels: ONE batched 1:N search for every refreshed track
+            if bank is not None and len(bank):
+                fresh, seen = [], set()
+                for slots in per_frame_tracks:
+                    for t in slots:
+                        if (
+                            t is not None and t.label_dirty
+                            and t.feature is not None and id(t) not in seen
+                        ):
+                            seen.add(id(t))
+                            fresh.append(t)
+                if fresh:
+                    top_names, top_sims = bank.search(
+                        np.stack([t.feature for t in fresh]), top_k=1
+                    )
+                    for t, nm, sm in zip(fresh, top_names, top_sims):
+                        sim = float(sm[0])
+                        t.label = nm[0] if sim > thr else "Unknown"
+                        t.label_dirty = False
             for i in range(n):
                 scale = scales[i]
                 for t in per_frame_tracks[i]:
-                    if t is None or ref_feature is None:
+                    if t is None:
+                        continue
+                    if bank is not None:
+                        if t.feature is None:
+                            t.label = "Unknown"
+                        continue
+                    if ref_feature is None:
                         continue
                     if t.feature is None:
                         t.label = "Unknown"

@@ -147,3 +147,53 @@ def test_tracking_pipeline_refresh_counts(tiny_models):
     s = pipe.stats()
     assert s["embed_fraction"] > 0.3  # refreshing often
     assert s["embed_frames"] < s["total_frames"]  # but never every frame
+
+
+def test_tracking_pipeline_gallery_labels(tiny_models):
+    """bank= labels each track with its 1:N top-1 identity; the batched
+    search runs only for refreshed (label_dirty) tracks."""
+    from facerecognizeonnx_tpu.config import PipelineConfig
+    from facerecognizeonnx_tpu.match.gallery import GalleryBank
+
+    det, arc = tiny_models
+    cfg = PipelineConfig(det_input_size=192, compute_dtype="float32",
+                         pre_nms_topk=64)
+    pipe = TrackingVideoPipeline(
+        det, arc, cfg, batch=2, max_faces_embed=4, refresh_every=100
+    )
+    frame = np.random.default_rng(7).integers(
+        0, 256, (160, 200, 3), dtype=np.uint8
+    )
+    # run once WITHOUT a bank to harvest the real track features
+    outs = list(pipe.run(iter([frame] * 2)))
+    feats = {
+        t.track_id: t.feature
+        for _, _, tr in outs for t in tr if t is not None
+    }
+    assert feats
+
+    # gallery with the real features enrolled under known names + chaff
+    bank = GalleryBank()
+    rng = np.random.default_rng(11)
+    for tid, f in feats.items():
+        bank.add(f"track{tid}", f)
+    bank.add_batch(
+        ["chaff1", "chaff2"], rng.normal(size=(2, 512)).astype(np.float32)
+    )
+
+    pipe2 = TrackingVideoPipeline(
+        det, arc, cfg, batch=2, max_faces_embed=4, refresh_every=100
+    )
+    outs2 = list(pipe2.run(iter([frame] * 4), bank=bank))
+    assert len(outs2) == 4
+    labeled = [
+        t for _, _, tr in outs2 for t in tr
+        if t is not None and t.feature is not None
+    ]
+    assert labeled
+    # identical frames → identical features → every track matches its
+    # own enrolled identity (sim = 1.0 > 0.6) and labels are sticky on
+    # cached frames (label_dirty cleared after one search)
+    for t in labeled:
+        assert t.label.startswith("track"), t.label
+        assert not t.label_dirty
