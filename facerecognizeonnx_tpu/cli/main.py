@@ -103,9 +103,31 @@ def _show_or_save(args, name: str, image, src_path: str | None = None):
 def mode_detect(args):
     detector, _ = _load_models(args)
     print("\n=== 测试人脸检测 ===")
-    image = imread(args.images[0])
+    paths = []
+    for pattern in args.images:
+        if os.path.isdir(pattern):
+            paths += sorted(glob.glob(os.path.join(pattern, "*")))
+        else:
+            paths += sorted(glob.glob(pattern)) or [pattern]
+    if len(paths) > 1:
+        # bulk mode: the native loader decodes+letterboxes files in C++
+        # concurrently with batched device detection (detect_files)
+        all_faces = detector.detect_files(paths)
+        total = 0
+        for path, faces in zip(paths, all_faces):
+            total += len(faces)
+            print(f"{os.path.basename(path)}: 检测到 {len(faces)} 个人脸")
+            for i, f in enumerate(faces):
+                x, y, w, h = f.box
+                print(
+                    f"  人脸 {i + 1}: 位置({x}, {y}, {w}, {h}) "
+                    f"置信度: {f.score:.6g}"
+                )
+        print(f"共 {len(paths)} 张图像, {total} 个人脸")
+        return
+    image = imread(paths[0])
     if image is None:
-        print(f"无法读取图像: {args.images[0]}")
+        print(f"无法读取图像: {paths[0]}")
         return
     print(f"图像尺寸: {image.shape[1]}x{image.shape[0]}")
     faces = detector.detect(image)
@@ -114,7 +136,7 @@ def mode_detect(args):
         x, y, w, h = f.box
         print(f"人脸 {i + 1}: 位置({x}, {y}, {w}, {h}) 置信度: {f.score:.6g}")
         draw_face_info(image, f)
-    _show_or_save(args, "detection", image, args.images[0])
+    _show_or_save(args, "detection", image, paths[0])
 
 
 def mode_compare(args):
@@ -381,7 +403,8 @@ def mode_serve(args):
         else GalleryBank()
     )
     server = make_server(
-        detector, recognizer, bank, host=args.host, port=args.port
+        detector, recognizer, bank, host=args.host, port=args.port,
+        auth_token=args.auth_token,
     )
     host, port = server.server_address[:2]
     print(f"服务已启动: http://{host}:{port}  (gallery: {len(bank)} 条)")
@@ -565,6 +588,12 @@ def main(argv=None):
     )
     parser.add_argument("--host", default="127.0.0.1", help="serve: bind host")
     parser.add_argument("--port", type=int, default=8080, help="serve: bind port")
+    parser.add_argument(
+        "--auth-token",
+        default=os.environ.get("FRT_AUTH_TOKEN"),
+        help="serve: require 'Authorization: Bearer <token>' on every "
+             "request (default: FRT_AUTH_TOKEN env var; unset = open)",
+    )
     parser.add_argument(
         "--cpu", action="store_true", help="run on host CPU instead of TPU"
     )

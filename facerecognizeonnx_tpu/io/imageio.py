@@ -21,7 +21,21 @@ except Exception:  # pragma: no cover
 
 
 def imread(path: str) -> Optional[np.ndarray]:
-    """Read an image as BGR uint8 (cv::imread semantics); None on failure."""
+    """Read an image as BGR uint8 (cv::imread semantics); None on failure.
+
+    JPEG/PNG go through the native runtime decoder (bit-exact with
+    cv2.imdecode — both link libjpeg-turbo/libpng — and GIL-free);
+    other formats and codec-less builds fall back to cv2, then PIL."""
+    if path.lower().endswith((".jpg", ".jpeg", ".png")):
+        try:
+            from facerecognizeonnx_tpu.runtime import native
+
+            with open(path, "rb") as f:
+                img = native.decode_native(f.read())
+            if img is not None:
+                return img
+        except OSError:
+            return None
     if _HAS_CV2:
         img = cv2.imread(path)
         return img

@@ -226,6 +226,106 @@ class FaceDetector:
                 results[i] = per_image
         return results
 
+    def detect_files(
+        self,
+        paths: Sequence[str],
+        batch_size: int = 32,
+        threads: int = 1,
+    ) -> List[List[FaceBox]]:
+        """Bulk detection over image FILES.
+
+        The native C++ loader (runtime/native.NativeImageLoader) reads,
+        decodes (libjpeg/libpng) and letterboxes paths concurrently with
+        device execution; frames then run as fixed-shape padded batches
+        of ONE compiled program (partial tail batches are zero-padded,
+        pad rows discarded). Per-file FaceBox lists in original pixel
+        coords with exact `detect()` parity (the per-image scale feeds
+        postprocess, so /scale happens BEFORE NMS in the reference's
+        int-rect IoU space, src/face_detector.cpp:255-258,340-354).
+        Unreadable/undecodable files get []. Falls back to
+        imread + detect_batch when native codecs are unavailable.
+        """
+        if self.params is None:
+            print("Model not loaded!")
+            return [[] for _ in paths]
+        from facerecognizeonnx_tpu.runtime import native
+
+        if not native.codecs_available():
+            from facerecognizeonnx_tpu.io.imageio import imread
+
+            return self.detect_batch([imread(p) for p in paths])
+
+        size = self.cfg.det_input_size
+        key = ("padded_batch", batch_size)
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            from facerecognizeonnx_tpu.detect.decode import decode_outputs
+            from facerecognizeonnx_tpu.detect.pipeline import _forward, postprocess
+            from facerecognizeonnx_tpu.ops.image import normalize_to_rgb
+
+            def padded_batch_fn(frames, scales, _cfg=cfg):
+                dtype = jnp.dtype(_cfg.compute_dtype)
+                x = normalize_to_rgb(
+                    frames, _cfg.pixel_mean, _cfg.pixel_scale, dtype=dtype
+                )
+                outs = _forward(self.params, x, dtype)
+                scores, boxes, kps = decode_outputs(
+                    outs, _cfg.det_input_size, _cfg.num_anchors
+                )
+                return jax.vmap(
+                    lambda s, b, k, sc: postprocess(s, b, k, sc, _cfg)
+                )(scores, boxes, kps, scales)
+
+            self._jit_cache[key] = jax.jit(padded_batch_fn)
+        fn = self._jit_cache[key]
+
+        results: List[List[FaceBox]] = [[] for _ in paths]
+        buf_frames: List[np.ndarray] = []
+        buf_scales: List[float] = []
+        buf_idx: List[int] = []
+
+        def flush():
+            if not buf_idx:
+                return
+            n = len(buf_idx)
+            frames = np.zeros((batch_size, size, size, 3), np.uint8)
+            scales = np.ones(batch_size, np.float32)
+            frames[:n] = np.stack(buf_frames)
+            scales[:n] = buf_scales
+            dets = fn(jnp.asarray(frames), jnp.asarray(scales))
+            boxes = np.asarray(dets.boxes)
+            scores = np.asarray(dets.scores)
+            kps = np.asarray(dets.kps)
+            valid = np.asarray(dets.valid)
+            for row, i in enumerate(buf_idx):
+                faces = Detections(
+                    boxes=boxes[row], scores=scores[row],
+                    kps=kps[row], valid=valid[row],
+                ).to_face_boxes()
+                for f in faces:
+                    x1, y1 = int(f.box[0]), int(f.box[1])
+                    x2 = int(f.box[0] + f.box[2])
+                    y2 = int(f.box[1] + f.box[3])
+                    f.box = (x1, y1, x2 - x1, y2 - y1)
+                results[i] = faces
+            buf_frames.clear()
+            buf_scales.clear()
+            buf_idx.clear()
+
+        with native.NativeImageLoader(
+            paths, size, threads=threads, capacity=max(8, 2 * batch_size)
+        ) as loader:
+            for idx, frame, scale in loader:
+                if frame is None:
+                    continue
+                buf_frames.append(frame)
+                buf_scales.append(scale)
+                buf_idx.append(idx)
+                if len(buf_idx) == batch_size:
+                    flush()
+        flush()
+        return results
+
     def _detect_jit(self, image, score_threshold, nms_threshold) -> Detections:
         key = (image.shape, score_threshold, nms_threshold)
         if key not in self._jit_cache:

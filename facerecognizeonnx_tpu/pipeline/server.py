@@ -11,18 +11,34 @@ Endpoints:
   POST   /identify[?top_k=K]   image bytes (JPEG/PNG/BMP) →
       {"faces": [{"box": [x1,y1,x2,y2], "score": s,
                   "names": [...], "sims": [...]}]}
+  POST   /identify_stream      length-prefixed frame stream (see below) →
+      chunked NDJSON, one {"frame": i, "faces": [...]} line per frame
   POST   /enroll?name=NAME     image bytes → enrolls the best face
   DELETE /enroll?name=NAME     removes every enrollment under NAME
   GET    /healthz              {"status": "ok", "gallery_size": N}
   GET    /stats                micro-batching counters
+
+Streaming wire format (video identify without per-frame HTTP overhead):
+the request body is a sequence of [4-byte big-endian length][JPEG/PNG
+bytes] frames terminated by a zero length; results stream back as
+chunked NDJSON in frame order while later frames are still uploading
+(each frame rides the shared device micro-batches, so concurrent
+streams coalesce).
+
+Auth: pass auth_token to make_server (CLI --auth-token / FRT_AUTH_TOKEN)
+to require `Authorization: Bearer <token>` on every request (401
+otherwise, constant-time comparison).
 
 Run: python -m facerecognizeonnx_tpu serve --port 8080 [--gallery g.npz]
 """
 
 from __future__ import annotations
 
+import hmac
 import json
+import struct
 import threading
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -34,6 +50,15 @@ from facerecognizeonnx_tpu.pipeline.service import IdentifyService
 
 
 def _decode_image(data: bytes) -> Optional[np.ndarray]:
+    # Native JPEG/PNG decode first: runs in C++ with the GIL released,
+    # so ThreadingHTTPServer handler threads decode concurrently
+    # (runtime/native.py). cv2 covers the rest (BMP/WebP/codec-less
+    # builds).
+    from facerecognizeonnx_tpu.runtime import native
+
+    img = native.decode_native(data)
+    if img is not None:
+        return img
     import cv2
 
     arr = np.frombuffer(data, np.uint8)
@@ -41,12 +66,32 @@ def _decode_image(data: bytes) -> Optional[np.ndarray]:
     return img
 
 
+def _faces_payload(res, top_k: int) -> list:
+    """IdentifyResult → JSON-safe face list (shared by both endpoints)."""
+    faces = []
+    for i in range(len(res.valid)):
+        if not res.valid[i]:
+            continue
+        faces.append({
+            "box": [round(float(v), 2) for v in res.boxes[i]],
+            "score": round(float(res.scores[i]), 4),
+            "names": list(res.names[i]),
+            "sims": [round(float(s), 4) for s in res.sims[i]],
+        })
+    return faces
+
+
 class _Handler(BaseHTTPRequestHandler):
+    # chunked responses (identify_stream) require HTTP/1.1; every other
+    # reply carries an exact Content-Length so keep-alive stays correct
+    protocol_version = "HTTP/1.1"
+
     # injected by make_server()
     service: IdentifyService = None
     bank: GalleryBank = None
     enroll_fn = None
     remove_fn = None
+    auth_token: Optional[str] = None
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -63,7 +108,20 @@ class _Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", 0))
         return self.rfile.read(length)
 
+    def _authorized(self) -> bool:
+        if not self.auth_token:
+            return True
+        supplied = self.headers.get("Authorization", "")
+        if hmac.compare_digest(supplied, f"Bearer {self.auth_token}"):
+            return True
+        self._reply(401, {"error": "unauthorized"})
+        # an unread streaming body would poison keep-alive reuse
+        self.close_connection = True
+        return False
+
     def do_GET(self):
+        if not self._authorized():
+            return
         path = urlparse(self.path).path
         if path == "/healthz":
             self._reply(200, {"status": "ok", "gallery_size": len(self.bank)})
@@ -73,8 +131,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {path}"})
 
     def do_POST(self):
+        if not self._authorized():
+            return
         url = urlparse(self.path)
         qs = parse_qs(url.query)
+        if url.path == "/identify_stream":
+            self._identify_stream(qs)
+            return
         img = _decode_image(self._read_body())
         if img is None:
             self._reply(400, {"error": "cannot decode image"})
@@ -82,17 +145,7 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path == "/identify":
             top_k = int(qs.get("top_k", ["1"])[0])
             res = self.service.identify(img, top_k=top_k)
-            faces = []
-            for i in range(len(res.valid)):
-                if not res.valid[i]:
-                    continue
-                faces.append({
-                    "box": [round(float(v), 2) for v in res.boxes[i]],
-                    "score": round(float(res.scores[i]), 4),
-                    "names": list(res.names[i]),
-                    "sims": [round(float(s), 4) for s in res.sims[i]],
-                })
-            self._reply(200, {"faces": faces})
+            self._reply(200, {"faces": _faces_payload(res, top_k)})
         elif url.path == "/enroll":
             name = qs.get("name", [""])[0]
             if not name:
@@ -105,7 +158,68 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._reply(404, {"error": f"unknown path {url.path}"})
 
+    # ---------------------------------------------------------- streaming
+
+    def _write_chunk(self, data: bytes):
+        self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+    def _identify_stream(self, qs):
+        """Length-prefixed frame stream → chunked NDJSON results.
+
+        Frames are submitted to the micro-batching service as they
+        arrive (identify_async); completed results are flushed in frame
+        order while later frames still upload, so a single client's
+        stream pipelines host decode, device batches, and the network.
+        """
+        top_k = int(qs.get("top_k", ["1"])[0])
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        self.close_connection = True  # raw-framed body: don't reuse
+
+        pending: deque = deque()  # (frame_idx, Future | None-for-bad)
+        frame_idx = 0
+
+        def flush(block: bool):
+            while pending:
+                idx, fut = pending[0]
+                if fut is None:
+                    line = {"frame": idx, "error": "cannot decode image"}
+                elif fut.done() or block:
+                    line = {"frame": idx,
+                            "faces": _faces_payload(fut.result(120), top_k)}
+                else:
+                    return
+                pending.popleft()
+                self._write_chunk((json.dumps(line) + "\n").encode())
+
+        while True:
+            header = self.rfile.read(4)
+            if len(header) < 4:
+                break
+            (n,) = struct.unpack(">I", header)
+            if n == 0:  # explicit end-of-stream marker
+                break
+            if n > 64 * 1024 * 1024:  # refuse absurd frames
+                break
+            data = self.rfile.read(n)
+            if len(data) < n:
+                break
+            img = _decode_image(data)
+            pending.append(
+                (frame_idx,
+                 None if img is None
+                 else self.service.identify_async(img, top_k=top_k))
+            )
+            frame_idx += 1
+            flush(block=False)
+        flush(block=True)
+        self.wfile.write(b"0\r\n\r\n")
+
     def do_DELETE(self):
+        if not self._authorized():
+            return
         url = urlparse(self.path)
         if url.path != "/enroll":
             self._reply(404, {"error": f"unknown path {url.path}"})
@@ -129,12 +243,15 @@ def make_server(
     port: int = 8080,
     max_batch: int = 8,
     batch_window_ms: float = 5.0,
+    auth_token: Optional[str] = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
     detector/recognizer: loaded FaceDetector/FaceRecognizer — their
     params feed one shared IdentifyService; enrolls go through the
     standard detect→align→embed path and mutate `bank` in place.
+    auth_token, when set, gates every endpoint behind
+    `Authorization: Bearer <token>`.
     """
     service = IdentifyService(
         detector.params, recognizer.params, bank, cfg=detector.cfg,
@@ -159,7 +276,7 @@ def make_server(
 
     handler = type("Handler", (_Handler,), {
         "service": service, "bank": bank, "enroll_fn": staticmethod(enroll),
-        "remove_fn": staticmethod(remove),
+        "remove_fn": staticmethod(remove), "auth_token": auth_token,
     })
     server = ThreadingHTTPServer((host, port), handler)
     server.frt_service = service  # for clean shutdown by the caller

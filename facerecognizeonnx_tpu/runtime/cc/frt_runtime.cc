@@ -18,6 +18,18 @@
 //                     feeds the TPU, overlapping host I/O with device
 //                     compute (the reference processes frames strictly
 //                     serially, src/main.cpp:214-257)
+//   frt_image_info / frt_decode / frt_decode_letterbox
+//                   — JPEG/libjpeg + PNG/libpng decode to BGR uint8
+//                     (the native stand-in for cv::imread/imdecode,
+//                     src/main.cpp:42,71-72). Decode releases the
+//                     Python GIL (ctypes), so HTTP serve threads
+//                     decode concurrently. Compiled only when the
+//                     codec headers exist (-DFRT_WITH_CODECS).
+//   frt_loader_*    — a multi-threaded file loader: worker threads
+//                     read + decode + letterbox a path list into a
+//                     bounded queue; the consumer feeds device
+//                     batches. This is the native data-loader layer
+//                     (batch enrollment / training input pipeline).
 //
 // Build: make -C facerecognizeonnx_tpu/runtime/cc   (g++ -O3 -shared)
 
@@ -26,10 +38,142 @@
 #include <chrono>
 #include <cmath>
 #include <condition_variable>
+#include <cstddef>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <deque>
+#include <fstream>
 #include <mutex>
+#include <string>
+#include <thread>
 #include <vector>
+
+#ifdef FRT_WITH_CODECS
+#include <csetjmp>
+#include <jpeglib.h>
+#include <png.h>
+#endif
+
+// ------------------------------------------------------------ codec helpers
+
+namespace {
+
+#ifdef FRT_WITH_CODECS
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
+}
+
+bool is_jpeg(const uint8_t* d, size_t n) {
+  return n >= 3 && d[0] == 0xFF && d[1] == 0xD8 && d[2] == 0xFF;
+}
+
+bool is_png(const uint8_t* d, size_t n) {
+  return n >= 8 && d[0] == 0x89 && d[1] == 'P' && d[2] == 'N' && d[3] == 'G';
+}
+
+// Header-only dimension probe. Returns false if the payload is neither
+// a decodable JPEG nor PNG.
+bool image_dims(const uint8_t* data, size_t len, int* h, int* w) {
+  if (is_jpeg(data, len)) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jb)) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, (unsigned long)len);
+    jpeg_read_header(&cinfo, TRUE);
+    *w = (int)cinfo.image_width;
+    *h = (int)cinfo.image_height;
+    jpeg_destroy_decompress(&cinfo);
+    return *w > 0 && *h > 0;
+  }
+  if (is_png(data, len)) {
+    png_image image;
+    std::memset(&image, 0, sizeof image);
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_memory(&image, data, len)) return false;
+    *w = (int)image.width;
+    *h = (int)image.height;
+    png_image_free(&image);
+    return *w > 0 && *h > 0;
+  }
+  return false;
+}
+
+// Full decode to interleaved BGR uint8 (cv::imread channel order).
+// Grayscale/paletted inputs are converted by the codec libraries.
+bool decode_bgr(const uint8_t* data, size_t len, std::vector<uint8_t>& bgr,
+                int* h, int* w) {
+  if (is_jpeg(data, len)) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jb)) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, (unsigned long)len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;  // codec converts gray→RGB too
+    jpeg_start_decompress(&cinfo);
+    int ww = (int)cinfo.output_width, hh = (int)cinfo.output_height;
+    if (ww <= 0 || hh <= 0 || cinfo.output_components != 3) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    bgr.resize((size_t)hh * ww * 3);
+    std::vector<uint8_t> row((size_t)ww * 3);
+    while (cinfo.output_scanline < cinfo.output_height) {
+      int y = (int)cinfo.output_scanline;
+      uint8_t* rp = row.data();
+      jpeg_read_scanlines(&cinfo, &rp, 1);
+      uint8_t* out = bgr.data() + (size_t)y * ww * 3;
+      for (int j = 0; j < ww; ++j) {  // RGB → BGR
+        out[j * 3 + 0] = row[j * 3 + 2];
+        out[j * 3 + 1] = row[j * 3 + 1];
+        out[j * 3 + 2] = row[j * 3 + 0];
+      }
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    *h = hh;
+    *w = ww;
+    return true;
+  }
+  if (is_png(data, len)) {
+    png_image image;
+    std::memset(&image, 0, sizeof image);
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_memory(&image, data, len)) return false;
+    image.format = PNG_FORMAT_BGR;  // libpng composites alpha/palette
+    bgr.resize(PNG_IMAGE_SIZE(image));
+    if (!png_image_finish_read(&image, nullptr, bgr.data(), 0, nullptr)) {
+      png_image_free(&image);
+      return false;
+    }
+    *h = (int)image.height;
+    *w = (int)image.width;
+    return true;
+  }
+  return false;
+}
+
+#endif  // FRT_WITH_CODECS
+
+}  // namespace
 
 extern "C" {
 
@@ -222,6 +366,180 @@ int frt_ring_size(void* h) {
   auto* ring = (FrtRing*)h;
   std::lock_guard<std::mutex> lk(ring->mu);
   return ring->count;
+}
+
+// ------------------------------------------------------------------- codecs
+
+// 1 if this build links libjpeg/libpng, else 0 (callers fall back to
+// cv2/PIL decode in Python).
+int frt_codecs_available() {
+#ifdef FRT_WITH_CODECS
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+// Header-only probe of encoded JPEG/PNG bytes. 0 on success (h/w set),
+// -1 on unrecognized/corrupt payload or codec-less build.
+int frt_image_info(const uint8_t* data, size_t len, int* h, int* w) {
+#ifdef FRT_WITH_CODECS
+  return image_dims(data, len, h, w) ? 0 : -1;
+#else
+  (void)data, (void)len, (void)h, (void)w;
+  return -1;
+#endif
+}
+
+// Decode JPEG/PNG bytes into caller-allocated out (h*w*3 BGR uint8,
+// dims from frt_image_info). 0 on success; -1 decode failure; -2 if the
+// decoded dims do not match (h, w).
+int frt_decode(const uint8_t* data, size_t len, uint8_t* out, int h, int w) {
+#ifdef FRT_WITH_CODECS
+  std::vector<uint8_t> bgr;
+  int dh = 0, dw = 0;
+  if (!decode_bgr(data, len, bgr, &dh, &dw)) return -1;
+  if (dh != h || dw != w) return -2;
+  std::memcpy(out, bgr.data(), bgr.size());
+  return 0;
+#else
+  (void)data, (void)len, (void)out, (void)h, (void)w;
+  return -1;
+#endif
+}
+
+// Decode + letterbox in ONE native call (the serve/enroll hot path:
+// encoded bytes → detector-ready (dsize,dsize,3) BGR uint8). Returns
+// the letterbox scale, or <= 0 on decode failure.
+float frt_decode_letterbox(const uint8_t* data, size_t len, uint8_t* dst,
+                           int dsize) {
+#ifdef FRT_WITH_CODECS
+  std::vector<uint8_t> bgr;
+  int h = 0, w = 0;
+  if (!decode_bgr(data, len, bgr, &h, &w)) return -1.0f;
+  return frt_letterbox(bgr.data(), h, w, dst, dsize);
+#else
+  (void)data, (void)len, (void)dst, (void)dsize;
+  return -1.0f;
+#endif
+}
+
+// ------------------------------------------------------------- file loader
+
+// Multi-threaded path-list loader: workers read + decode + letterbox
+// into a bounded queue; the consumer pops detector-ready frames in
+// completion order (per-item index reported). The native analog of a
+// framework input pipeline — the reference loads images one blocking
+// cv::imread at a time (src/main.cpp:71-72).
+
+struct FrtLoader {
+  struct Item {
+    std::vector<uint8_t> frame;
+    float scale;
+    int index;
+    int ok;
+  };
+  std::vector<std::string> paths;
+  int target;
+  size_t capacity;
+  std::atomic<int> next{0};
+  std::deque<Item> q;
+  int active_workers;
+  bool closed = false;
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::vector<std::thread> workers;
+};
+
+static void frt_loader_worker(FrtLoader* L) {
+  const size_t frame_bytes = (size_t)L->target * L->target * 3;
+  for (;;) {
+    int idx = L->next.fetch_add(1);
+    if (idx >= (int)L->paths.size()) break;
+    FrtLoader::Item item;
+    item.index = idx;
+    item.ok = 0;
+    item.scale = 0.0f;
+    item.frame.assign(frame_bytes, 0);
+#ifdef FRT_WITH_CODECS
+    std::ifstream f(L->paths[idx], std::ios::binary);
+    if (f) {
+      std::vector<uint8_t> bytes((std::istreambuf_iterator<char>(f)),
+                                 std::istreambuf_iterator<char>());
+      float scale =
+          frt_decode_letterbox(bytes.data(), bytes.size(),
+                               item.frame.data(), L->target);
+      if (scale > 0) {
+        item.ok = 1;
+        item.scale = scale;
+      }
+    }
+#endif
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_push.wait(lk, [&] { return L->q.size() < L->capacity || L->closed; });
+    if (L->closed) break;
+    L->q.push_back(std::move(item));
+    lk.unlock();
+    L->cv_pop.notify_one();
+  }
+  std::lock_guard<std::mutex> lk(L->mu);
+  if (--L->active_workers == 0) L->cv_pop.notify_all();
+}
+
+// Create a loader over n paths. nthreads decode workers, bounded queue
+// of `capacity` frames. NULL if this build has no codecs.
+void* frt_loader_create(const char* const* paths, int n, int target,
+                        int nthreads, int capacity) {
+#ifndef FRT_WITH_CODECS
+  (void)paths, (void)n, (void)target, (void)nthreads, (void)capacity;
+  return nullptr;
+#else
+  auto* L = new FrtLoader();
+  L->paths.reserve(n);
+  for (int i = 0; i < n; ++i) L->paths.emplace_back(paths[i]);
+  L->target = target;
+  L->capacity = capacity > 0 ? (size_t)capacity : 8;
+  nthreads = std::max(1, nthreads);
+  L->active_workers = nthreads;
+  for (int t = 0; t < nthreads; ++t)
+    L->workers.emplace_back(frt_loader_worker, L);
+  return L;
+#endif
+}
+
+// Pop the next decoded frame (completion order). out must hold
+// target*target*3 bytes. Returns 0 on success, -1 timeout, -2 all
+// items delivered, -3 this item failed to read/decode (index still
+// reported; frame zeroed).
+int frt_loader_next(void* h, uint8_t* out, float* scale_out, int* index_out,
+                    int timeout_ms) {
+  auto* L = (FrtLoader*)h;
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_pop.wait_for(
+      lk, std::chrono::milliseconds(timeout_ms),
+      [&] { return !L->q.empty() || L->active_workers == 0; });
+  if (L->q.empty()) return L->active_workers == 0 ? -2 : -1;
+  FrtLoader::Item item = std::move(L->q.front());
+  L->q.pop_front();
+  lk.unlock();
+  L->cv_push.notify_one();
+  std::memcpy(out, item.frame.data(), item.frame.size());
+  if (scale_out) *scale_out = item.scale;
+  if (index_out) *index_out = item.index;
+  return item.ok ? 0 : -3;
+}
+
+// Stop workers (even mid-list) and free the loader.
+void frt_loader_destroy(void* h) {
+  auto* L = (FrtLoader*)h;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->closed = true;
+    L->next.store((int)L->paths.size());
+  }
+  L->cv_push.notify_all();
+  for (auto& t : L->workers) t.join();
+  delete L;
 }
 
 }  // extern "C"

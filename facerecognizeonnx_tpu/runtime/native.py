@@ -73,6 +73,37 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.frt_ring_size.restype = ctypes.c_int
         lib.frt_ring_size.argtypes = [ctypes.c_void_p]
+        try:  # codec/loader symbols (absent in a stale pre-codec .so)
+            lib.frt_codecs_available.restype = ctypes.c_int
+            lib.frt_image_info.restype = ctypes.c_int
+            lib.frt_image_info.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.frt_decode.restype = ctypes.c_int
+            lib.frt_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int,
+            ]
+            lib.frt_decode_letterbox.restype = ctypes.c_float
+            lib.frt_decode_letterbox.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.frt_loader_create.restype = ctypes.c_void_p
+            lib.frt_loader_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+            ]
+            lib.frt_loader_next.restype = ctypes.c_int
+            lib.frt_loader_next.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
+            lib.frt_loader_destroy.argtypes = [ctypes.c_void_p]
+            lib._frt_has_codecs = bool(lib.frt_codecs_available())
+        except AttributeError:
+            lib._frt_has_codecs = False
         _lib = lib
         return _lib
 
@@ -114,6 +145,108 @@ def nms_native(
         ctypes.c_float(iou_threshold), int(int_rects), keep.ctypes.data,
     )
     return keep.astype(bool)
+
+
+def codecs_available() -> bool:
+    """True when libfrt_runtime.so was built with libjpeg/libpng."""
+    lib = _load()
+    return bool(lib is not None and lib._frt_has_codecs)
+
+
+def decode_native(data: bytes):
+    """Decode JPEG/PNG bytes to a BGR uint8 array (cv2.imdecode channel
+    order) in native code — the GIL is released during decode, so HTTP
+    serve threads decode concurrently. Returns None on failure or when
+    the native codecs are unavailable."""
+    lib = _load()
+    if lib is None or not lib._frt_has_codecs:
+        return None
+    h = ctypes.c_int(0)
+    w = ctypes.c_int(0)
+    if lib.frt_image_info(data, len(data), ctypes.byref(h), ctypes.byref(w)):
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.frt_decode(data, len(data), out.ctypes.data, h.value, w.value):
+        return None
+    return out
+
+
+def decode_letterbox_native(data: bytes, target: int):
+    """Decode + letterbox in ONE native call: encoded bytes →
+    ((target,target,3) BGR uint8, scale). None on failure."""
+    lib = _load()
+    if lib is None or not lib._frt_has_codecs:
+        return None
+    out = np.empty((target, target, 3), np.uint8)
+    scale = lib.frt_decode_letterbox(data, len(data), out.ctypes.data, target)
+    if scale <= 0:
+        return None
+    return out, float(scale)
+
+
+class NativeImageLoader:
+    """Multi-threaded native file loader: C++ workers read + decode +
+    letterbox a path list into a bounded queue; iterate to consume
+    detector-ready frames in completion order.
+
+    Yields (index, frame, scale) per item; failed items yield
+    (index, None, 0.0) so every input is accounted for. The native
+    data-loader analog of the reference's serial cv::imread loop
+    (src/main.cpp:71-72)."""
+
+    def __init__(self, paths, target: int, threads: int = 1,
+                 capacity: int = 8):
+        lib = _load()
+        if lib is None or not lib._frt_has_codecs:
+            raise NativeRuntimeUnavailable(
+                "libfrt_runtime.so missing or built without codecs"
+            )
+        self._lib = lib
+        self.target = int(target)
+        self.n = len(paths)
+        arr = (ctypes.c_char_p * self.n)(
+            *[os.fsencode(p) for p in paths]
+        )
+        self._h = lib.frt_loader_create(
+            arr, self.n, self.target, int(threads), int(capacity)
+        )
+        if not self._h:
+            raise NativeRuntimeUnavailable("frt_loader_create failed")
+
+    def __iter__(self):
+        while True:
+            out = np.empty((self.target, self.target, 3), np.uint8)
+            scale = ctypes.c_float(0.0)
+            index = ctypes.c_int(-1)
+            rc = self._lib.frt_loader_next(
+                self._h, out.ctypes.data, ctypes.byref(scale),
+                ctypes.byref(index), 30_000,
+            )
+            if rc == -2:
+                return
+            if rc == -1:
+                raise TimeoutError("native loader stalled (30s)")
+            if rc == -3:
+                yield index.value, None, 0.0
+            else:
+                yield index.value, out, float(scale.value)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.frt_loader_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class FrameRing:

@@ -143,3 +143,68 @@ def test_detect_batch_mixed_shapes(detector, image):
 
 def test_detect_batch_unloaded_guard(image):
     assert FaceDetector(CFG).detect_batch([image]) == [[]]
+
+
+def test_detect_files_matches_detect_batch(detector, tmp_path):
+    """detect_files: native C++ decode+letterbox feeding fixed-shape
+    padded batches must agree with detect_batch on the decoded images
+    at the SAME batch size (PNG decode is bit-exact, so the only delta
+    is the native-u8 vs device-float letterbox — same rounding band the
+    host_letterbox path allows). Unreadable files get []."""
+    from facerecognizeonnx_tpu.runtime import native
+
+    if not native.codecs_available():
+        pytest.skip("native codecs unavailable")
+    import cv2
+
+    # 640x640 inputs: letterbox is an exact no-op for both the native-u8
+    # and device-float paths, so parity must be BIT-EXACT — this pins the
+    # decode/loader/batch-padding/scale plumbing. (The u8-vs-float resize
+    # rounding band is covered by test_letterbox_matches_cv2 and
+    # test_host_letterbox_matches_device_path.)
+    rng = np.random.default_rng(11)
+    imgs = [
+        rng.integers(0, 256, (640, 640, 3), dtype=np.uint8) for _ in range(2)
+    ]
+    p1, p2 = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    cv2.imwrite(p1, imgs[0])
+    cv2.imwrite(p2, imgs[1])
+    bad = str(tmp_path / "bad.jpg")
+    open(bad, "wb").write(b"junk")
+
+    # bad file is skipped, so both valid frames land in ONE batch of 2 —
+    # the same batch shape detect_batch runs
+    got = detector.detect_files([p1, bad, p2], batch_size=2)
+    want = detector.detect_batch(imgs)
+    assert len(got) == 3
+    assert got[1] == []
+    for faces, ref in [(got[0], want[0]), (got[2], want[1])]:
+        assert len(faces) == len(ref)
+        for g, w in zip(faces, ref):
+            assert g.box == w.box
+            assert g.score == pytest.approx(w.score, abs=1e-6)
+            np.testing.assert_allclose(g.landmarks, w.landmarks, atol=1e-4)
+
+
+def test_detect_files_padded_tail(detector, tmp_path):
+    """A partial tail batch (zero-padded to batch_size) must not leak
+    detections from pad rows or drop real ones."""
+    from facerecognizeonnx_tpu.runtime import native
+
+    if not native.codecs_available():
+        pytest.skip("native codecs unavailable")
+    import cv2
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (300, 420, 3), dtype=np.uint8)
+    p = str(tmp_path / "one.png")
+    cv2.imwrite(p, img)
+    got = detector.detect_files([p], batch_size=4)
+    assert len(got) == 1
+    ref = detector.detect_batch([img])[0]
+    assert len(got[0]) == len(ref)
+
+
+def test_detect_files_unloaded_guard(tmp_path):
+    p = str(tmp_path / "x.png")
+    assert FaceDetector(CFG).detect_files([p]) == [[]]

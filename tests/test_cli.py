@@ -218,3 +218,14 @@ def test_train_mode(tmp_path, capsys):
     stdout = capsys.readouterr().out
     assert rc == 0
     assert "特征维度: 512" in stdout
+
+
+def test_detect_mode_bulk(jpegs, capsys):
+    """Multiple inputs route through the native-loader bulk path
+    (FaceDetector.detect_files) with a per-file + total summary."""
+    rc = main(["detect", jpegs[0], jpegs[1]])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "one.jpg: 检测到" in out
+    assert "two.jpg: 检测到" in out
+    assert "共 2 张图像" in out

@@ -127,3 +127,155 @@ def test_concurrent_producer_consumer(rng):
     for i, (f, s) in enumerate(seen):  # FIFO order preserved
         assert s == float(i)
         np.testing.assert_array_equal(f, frames[i])
+
+
+# ------------------------------------------------------------- image codecs
+
+
+codecs = pytest.mark.skipif(
+    not __import__(
+        "facerecognizeonnx_tpu.runtime.native", fromlist=["codecs_available"]
+    ).codecs_available(),
+    reason="native runtime built without libjpeg/libpng",
+)
+
+
+def _png_bytes(img_rgb):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img_rgb).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _jpg_bytes(img_rgb, quality=95):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img_rgb).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+@codecs
+def test_decode_png_bit_exact(rng):
+    from facerecognizeonnx_tpu.runtime.native import decode_native
+
+    img = rng.integers(0, 256, (61, 83, 3), dtype=np.uint8)  # RGB
+    dec = decode_native(_png_bytes(img))
+    assert dec is not None and dec.shape == (61, 83, 3)
+    np.testing.assert_array_equal(dec, img[..., ::-1])  # BGR out
+
+
+@codecs
+def test_decode_jpeg_matches_cv2(rng):
+    from facerecognizeonnx_tpu.runtime.native import decode_native
+
+    img = rng.integers(0, 256, (61, 83, 3), dtype=np.uint8)
+    data = _jpg_bytes(img)
+    dec = decode_native(data)
+    ref = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    assert dec is not None
+    # same libjpeg-turbo underneath: identical decode
+    diff = np.abs(dec.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+
+
+@codecs
+def test_decode_grayscale_and_alpha_png(rng):
+    from facerecognizeonnx_tpu.runtime.native import decode_native
+
+    from PIL import Image
+    import io
+
+    gray = rng.integers(0, 256, (40, 50), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(gray, mode="L").save(buf, "PNG")
+    dec = decode_native(buf.getvalue())
+    assert dec is not None and dec.shape == (40, 50, 3)
+    np.testing.assert_array_equal(dec[..., 0], gray)  # replicated channels
+
+    rgba = rng.integers(0, 256, (40, 50, 4), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(rgba, mode="RGBA").save(buf, "PNG")
+    dec = decode_native(buf.getvalue())
+    assert dec is not None and dec.shape == (40, 50, 3)
+
+
+@codecs
+def test_decode_rejects_garbage():
+    from facerecognizeonnx_tpu.runtime.native import decode_native
+
+    assert decode_native(b"") is None
+    assert decode_native(b"definitely not an image") is None
+    # truncated JPEG: valid magic, corrupt body
+    assert decode_native(b"\xff\xd8\xff\xe0" + b"\x00" * 16) is None
+
+
+@codecs
+def test_decode_letterbox_composes(rng):
+    from facerecognizeonnx_tpu.runtime.native import (
+        decode_letterbox_native,
+        decode_native,
+    )
+
+    img = rng.integers(0, 256, (97, 123, 3), dtype=np.uint8)
+    data = _png_bytes(img)
+    got = decode_letterbox_native(data, 64)
+    assert got is not None
+    frame, scale = got
+    ref, ref_scale = letterbox_native(decode_native(data), 64)
+    assert scale == pytest.approx(ref_scale)
+    np.testing.assert_array_equal(frame, ref)
+
+
+@codecs
+def test_native_image_loader(rng, tmp_path):
+    from PIL import Image
+
+    from facerecognizeonnx_tpu.runtime.native import (
+        NativeImageLoader,
+        decode_native,
+        letterbox_native,
+    )
+
+    paths, imgs = [], []
+    for i in range(7):
+        img = rng.integers(0, 256, (50 + i, 70, 3), dtype=np.uint8)
+        ext = "png" if i % 2 else "jpg"
+        p = tmp_path / f"im{i}.{ext}"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+        imgs.append(img)
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"junk")
+    paths.append(str(bad))
+    missing = str(tmp_path / "missing.png")
+    paths.append(missing)
+
+    got = {}
+    with NativeImageLoader(paths, 64, threads=2, capacity=3) as loader:
+        for idx, frame, scale in loader:
+            got[idx] = (frame, scale)
+    assert sorted(got) == list(range(len(paths)))  # every input accounted
+    assert got[7][0] is None and got[8][0] is None  # corrupt + missing flagged
+    for i in range(7):
+        frame, scale = got[i]
+        with open(paths[i], "rb") as f:
+            ref, ref_scale = letterbox_native(decode_native(f.read()), 64)
+        assert scale == pytest.approx(ref_scale)
+        np.testing.assert_array_equal(frame, ref)
+
+
+@codecs
+def test_imread_native_path_matches_cv2(rng, tmp_path):
+    from facerecognizeonnx_tpu.io.imageio import imread
+
+    img = rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    cv2.imwrite(p, img)
+    np.testing.assert_array_equal(imread(p), img)
+    assert imread(str(tmp_path / "nope.jpg")) is None

@@ -147,3 +147,77 @@ def test_http_server_roundtrip(rng):
     finally:
         server.shutdown()
         server.frt_service.close()
+
+
+def test_http_server_auth_and_stream(rng):
+    """Bearer-token auth (401 without/with-wrong token, constant-time
+    compare) + the /identify_stream endpoint: length-prefixed frames in,
+    chunked NDJSON per-frame results out, bad frames flagged in-stream."""
+    import http.client
+    import json as jsonlib
+    import struct
+    import threading
+
+    import cv2
+
+    from facerecognizeonnx_tpu.pipeline.api import FaceDetector, FaceRecognizer
+    from facerecognizeonnx_tpu.pipeline.server import make_server
+
+    cfg = PipelineConfig(compute_dtype="float32", rec_arch="iresnet18")
+    detector = FaceDetector(cfg)
+    detector.load_model()
+    recognizer = FaceRecognizer(cfg)
+    recognizer.load_model()
+    bank = GalleryBank()
+    server = make_server(detector, recognizer, bank, port=0,
+                         batch_window_ms=5, auth_token="s3cret")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path, token=None):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            headers = {"Authorization": f"Bearer {token}"} if token else {}
+            conn.request("GET", path, headers=headers)
+            r = conn.getresponse()
+            return r.status, jsonlib.loads(r.read())
+
+        assert get("/healthz")[0] == 401
+        assert get("/healthz", token="wrong")[0] == 401
+        status, health = get("/healthz", token="s3cret")
+        assert status == 200 and health["status"] == "ok"
+
+        # ---- streaming: 2 good frames + 1 undecodable, zero-terminated
+        img = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        good = enc.tobytes()
+        frames = [good, b"not an image", good]
+        body = b"".join(
+            struct.pack(">I", len(f)) + f for f in frames
+        ) + struct.pack(">I", 0)
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request(
+            "POST", "/identify_stream?top_k=1", body=body,
+            headers={"Authorization": "Bearer s3cret",
+                     "Content-Length": str(len(body))},
+        )
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader("Content-Type") == "application/x-ndjson"
+        lines = [jsonlib.loads(l) for l in r.read().splitlines() if l.strip()]
+        assert [l["frame"] for l in lines] == [0, 1, 2]  # frame order kept
+        assert "error" in lines[1]
+        for l in (lines[0], lines[2]):  # random-weight det fires on noise
+            assert isinstance(l["faces"], list)
+            assert all(len(f["box"]) == 4 for f in l["faces"])
+
+        # unauthorized stream is rejected before any frame is processed
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/identify_stream", body=body,
+                     headers={"Content-Length": str(len(body))})
+        assert conn.getresponse().status == 401
+    finally:
+        server.shutdown()
+        server.frt_service.close()
