@@ -218,6 +218,32 @@ def test_http_server_auth_and_stream(rng):
         conn.request("POST", "/identify_stream", body=body,
                      headers={"Content-Length": str(len(body))})
         assert conn.getresponse().status == 401
+
+        # ---- client SDK (pipeline/client.py) against the same server
+        from facerecognizeonnx_tpu.pipeline.client import (
+            IdentifyClient,
+            ServiceError,
+        )
+
+        client = IdentifyClient("127.0.0.1", port, token="s3cret",
+                                timeout=600)
+        assert client.healthz()["status"] == "ok"
+        assert client.enroll("bob", good)["enrolled"]
+        faces = client.identify(good, top_k=1)
+        assert faces and faces[0]["names"] == ["bob"]
+        lines = list(client.identify_stream(iter(frames), top_k=1))
+        assert [l["frame"] for l in lines] == [0, 1, 2]
+        assert "error" in lines[1] and "faces" in lines[0]
+        assert client.remove("bob")["removed"] == 1
+        with pytest.raises(ServiceError) as ei:
+            client.remove("bob")  # already gone → 404
+        assert ei.value.status == 404
+        with pytest.raises(ServiceError) as ei:
+            IdentifyClient("127.0.0.1", port, timeout=60).healthz()
+        assert ei.value.status == 401
+        bad_stream = IdentifyClient("127.0.0.1", port, timeout=60)
+        with pytest.raises(ServiceError):
+            list(bad_stream.identify_stream(iter(frames)))
     finally:
         server.shutdown()
         server.frt_service.close()
