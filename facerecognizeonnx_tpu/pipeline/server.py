@@ -16,7 +16,9 @@ Endpoints:
   POST   /enroll?name=NAME     image bytes → enrolls the best face
   DELETE /enroll?name=NAME     removes every enrollment under NAME
   GET    /healthz              {"status": "ok", "gallery_size": N}
-  GET    /stats                micro-batching counters
+  GET    /stats                micro-batching counters (JSON)
+  GET    /metrics              the same counters in Prometheus text
+                               exposition format (scrape-ready)
 
 Streaming wire format (video identify without per-frame HTTP overhead):
 the request body is a sequence of [4-byte big-endian length][JPEG/PNG
@@ -92,6 +94,9 @@ class _Handler(BaseHTTPRequestHandler):
     enroll_fn = None
     remove_fn = None
     auth_token: Optional[str] = None
+    # per-request future timeout: must cover a first-call XLA compile
+    # (minutes on a tunneled TPU), not just steady-state batches
+    request_timeout: float = 900.0
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -108,6 +113,20 @@ class _Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", 0))
         return self.rfile.read(length)
 
+    def _safe(self, body_fn):
+        """Turn handler exceptions into a 500 JSON reply. Without this,
+        ThreadingHTTPServer silently swallows the exception and drops
+        the connection — the client sees RemoteDisconnected and the
+        operator sees nothing (observed with a first-compile timeout)."""
+        try:
+            body_fn()
+        except Exception as e:  # noqa: BLE001 — boundary of the process
+            try:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                self.close_connection = True
+            except Exception:
+                pass
+
     def _authorized(self) -> bool:
         if not self.auth_token:
             return True
@@ -122,17 +141,40 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if not self._authorized():
             return
+        self._safe(self._get)
+
+    def _get(self):
         path = urlparse(self.path).path
         if path == "/healthz":
             self._reply(200, {"status": "ok", "gallery_size": len(self.bank)})
         elif path == "/stats":
             self._reply(200, self.service.stats())
+        elif path == "/metrics":
+            stats = self.service.stats()
+            body = "".join(
+                f"# TYPE frt_{k} {'gauge' if k == 'avg_batch' else 'counter'}\n"
+                f"frt_{k} {v}\n"
+                for k, v in stats.items()
+            )
+            body += (
+                "# TYPE frt_gallery_size gauge\n"
+                f"frt_gallery_size {len(self.bank)}\n"
+            )
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
         else:
             self._reply(404, {"error": f"unknown path {path}"})
 
     def do_POST(self):
         if not self._authorized():
             return
+        self._safe(self._post)
+
+    def _post(self):
         url = urlparse(self.path)
         qs = parse_qs(url.query)
         if url.path == "/identify_stream":
@@ -144,7 +186,9 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if url.path == "/identify":
             top_k = int(qs.get("top_k", ["1"])[0])
-            res = self.service.identify(img, top_k=top_k)
+            res = self.service.identify(
+                img, top_k=top_k, timeout=self.request_timeout
+            )
             self._reply(200, {"faces": _faces_payload(res, top_k)})
         elif url.path == "/enroll":
             name = qs.get("name", [""])[0]
@@ -187,8 +231,12 @@ class _Handler(BaseHTTPRequestHandler):
                 if fut is None:
                     line = {"frame": idx, "error": "cannot decode image"}
                 elif fut.done() or block:
-                    line = {"frame": idx,
-                            "faces": _faces_payload(fut.result(120), top_k)}
+                    line = {
+                        "frame": idx,
+                        "faces": _faces_payload(
+                            fut.result(self.request_timeout), top_k
+                        ),
+                    }
                 else:
                     return
                 pending.popleft()
@@ -220,6 +268,9 @@ class _Handler(BaseHTTPRequestHandler):
     def do_DELETE(self):
         if not self._authorized():
             return
+        self._safe(self._delete)
+
+    def _delete(self):
         url = urlparse(self.path)
         if url.path != "/enroll":
             self._reply(404, {"error": f"unknown path {url.path}"})
@@ -244,6 +295,8 @@ def make_server(
     max_batch: int = 8,
     batch_window_ms: float = 5.0,
     auth_token: Optional[str] = None,
+    request_timeout: float = 900.0,
+    warmup: bool = True,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -251,12 +304,20 @@ def make_server(
     params feed one shared IdentifyService; enrolls go through the
     standard detect→align→embed path and mutate `bank` in place.
     auth_token, when set, gates every endpoint behind
-    `Authorization: Bearer <token>`.
+    `Authorization: Bearer <token>`. warmup runs one synthetic identify
+    before returning so the fused program is compiled before the first
+    client request (a tunneled-TPU first compile takes minutes;
+    request_timeout covers anything that still compiles lazily, e.g.
+    the gallery-search program on the first non-empty identify).
     """
     service = IdentifyService(
         detector.params, recognizer.params, bank, cfg=detector.cfg,
         max_batch=max_batch, batch_window_ms=batch_window_ms,
     )
+    if warmup:
+        service.identify(
+            np.zeros((64, 64, 3), np.uint8), top_k=1, timeout=1800.0
+        )
     lock = threading.Lock()
 
     def enroll(name: str, image: np.ndarray) -> bool:
@@ -277,6 +338,7 @@ def make_server(
     handler = type("Handler", (_Handler,), {
         "service": service, "bank": bank, "enroll_fn": staticmethod(enroll),
         "remove_fn": staticmethod(remove), "auth_token": auth_token,
+        "request_timeout": request_timeout,
     })
     server = ThreadingHTTPServer((host, port), handler)
     server.frt_service = service  # for clean shutdown by the caller

@@ -131,6 +131,16 @@ def test_http_server_roundtrip(rng):
         status, stats = get("/stats")
         assert status == 200 and stats["requests"] >= 1
 
+        # Prometheus exposition of the same counters
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/metrics")
+        r = conn.getresponse()
+        text = r.read().decode()
+        assert r.status == 200
+        assert r.getheader("Content-Type").startswith("text/plain")
+        assert "# TYPE frt_requests counter" in text
+        assert "frt_gallery_size 1" in text
+
         def delete(path):
             conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
             conn.request("DELETE", path)
@@ -247,3 +257,54 @@ def test_http_server_auth_and_stream(rng):
     finally:
         server.shutdown()
         server.frt_service.close()
+
+
+def test_http_500_on_handler_exception():
+    """Handler exceptions must surface as a 500 JSON reply, not a silent
+    connection drop (ThreadingHTTPServer swallows them otherwise — the
+    client would see RemoteDisconnected and the operator nothing)."""
+    import http.client
+    import json as jsonlib
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    import cv2
+
+    from facerecognizeonnx_tpu.pipeline.server import _Handler
+
+    class Boom:
+        def identify(self, *a, **k):
+            raise RuntimeError("boom")
+
+        def stats(self):
+            raise RuntimeError("boom")
+
+    handler = type(
+        "H", (_Handler,),
+        {"service": Boom(), "bank": [], "auth_token": None},
+    )
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/stats")
+        r = conn.getresponse()
+        assert r.status == 500
+        assert "boom" in jsonlib.loads(r.read())["error"]
+
+        ok, enc = cv2.imencode(".png", np.zeros((8, 8, 3), np.uint8))
+        body = enc.tobytes()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/identify", body=body,
+                     headers={"Content-Length": str(len(body))})
+        r = conn.getresponse()
+        assert r.status == 500
+        assert "RuntimeError" in jsonlib.loads(r.read())["error"]
+
+        # healthz doesn't touch the broken service: still 200
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+    finally:
+        server.shutdown()
