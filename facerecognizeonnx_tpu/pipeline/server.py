@@ -242,27 +242,41 @@ class _Handler(BaseHTTPRequestHandler):
                 pending.popleft()
                 self._write_chunk((json.dumps(line) + "\n").encode())
 
-        while True:
-            header = self.rfile.read(4)
-            if len(header) < 4:
-                break
-            (n,) = struct.unpack(">I", header)
-            if n == 0:  # explicit end-of-stream marker
-                break
-            if n > 64 * 1024 * 1024:  # refuse absurd frames
-                break
-            data = self.rfile.read(n)
-            if len(data) < n:
-                break
-            img = _decode_image(data)
-            pending.append(
-                (frame_idx,
-                 None if img is None
-                 else self.service.identify_async(img, top_k=top_k))
-            )
-            frame_idx += 1
-            flush(block=False)
-        flush(block=True)
+        # headers are already on the wire: errors must terminate the
+        # chunk stream in-band (an error NDJSON line + final chunk), not
+        # fall out to _safe's 500 reply (a second status line would
+        # corrupt the stream)
+        try:
+            while True:
+                header = self.rfile.read(4)
+                if len(header) < 4:
+                    break
+                (n,) = struct.unpack(">I", header)
+                if n == 0:  # explicit end-of-stream marker
+                    break
+                if n > 64 * 1024 * 1024:  # refuse absurd frames
+                    break
+                data = self.rfile.read(n)
+                if len(data) < n:
+                    break
+                img = _decode_image(data)
+                pending.append(
+                    (frame_idx,
+                     None if img is None
+                     else self.service.identify_async(img, top_k=top_k))
+                )
+                frame_idx += 1
+                flush(block=False)
+            flush(block=True)
+        except Exception as e:  # noqa: BLE001 — in-band stream error
+            try:
+                self._write_chunk(
+                    (json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}
+                    ) + "\n").encode()
+                )
+            except Exception:
+                pass
         self.wfile.write(b"0\r\n\r\n")
 
     def do_DELETE(self):

@@ -279,3 +279,26 @@ def test_imread_native_path_matches_cv2(rng, tmp_path):
     cv2.imwrite(p, img)
     np.testing.assert_array_equal(imread(p), img)
     assert imread(str(tmp_path / "nope.jpg")) is None
+
+
+@codecs
+def test_native_image_loader_early_close(rng, tmp_path):
+    """Abandoning the iterator mid-list must not hang: close() stops the
+    C++ workers (even when blocked pushing into a full queue) and joins
+    them."""
+    from PIL import Image
+
+    from facerecognizeonnx_tpu.runtime.native import NativeImageLoader
+
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    paths = []
+    for i in range(24):
+        p = tmp_path / f"i{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+    loader = NativeImageLoader(paths, 32, threads=2, capacity=2)
+    it = iter(loader)
+    next(it)
+    next(it)  # workers now blocked on the size-2 queue
+    loader.close()  # must join cleanly, not deadlock
+    assert loader._h is None
