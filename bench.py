@@ -57,11 +57,12 @@ def main():
         default="all",
         choices=[
             "headline", "headline_mbf", "headline_q8", "headline_mbf_q8",
-            "headline_onnx", "enroll", "gallery", "video", "all",
+            "headline_onnx", "latency", "enroll", "gallery", "video", "all",
         ],
-        help="BASELINE.json config to run; 'all' (default) runs seven "
-        "(headline, headline_mbf, headline_q8, headline_onnx, enroll, "
-        "gallery, video) and reports headline as the top-level metric",
+        help="BASELINE.json config to run; 'all' (default) runs eight "
+        "(headline, headline_mbf, headline_q8, headline_onnx, latency, "
+        "enroll, gallery, video) and reports headline as the top-level "
+        "metric",
     )
     args = ap.parse_args()
 
@@ -222,6 +223,7 @@ def main():
         "headline_mbf": bench_headline_mbf,
         "headline_q8": bench_headline_q8,
         "headline_mbf_q8": bench_headline_mbf_q8,
+        "latency": lambda: bench_latency(args, cfg, det_params, arc_params, log),
         "enroll": lambda: bench_enroll(args, cfg, arc_params, log),
         "gallery": lambda: bench_gallery(args, log),
         "video": lambda: bench_video(args, cfg, det_params, arc_params, log),
@@ -237,7 +239,7 @@ def main():
     # weights deployment point).
     for name in (
         "headline", "headline_mbf", "headline_q8", "headline_onnx",
-        "enroll", "gallery", "video",
+        "latency", "enroll", "gallery", "video",
     ):
         t0 = time.time()
         try:
@@ -321,6 +323,93 @@ def bench_headline(args, cfg, det_params, arc_params, log):
             "faces_per_frame": FACES_PER_FRAME,
             "batch_step_latency": _percentiles(samples),
             "device": str(jax.devices()[0]),
+        },
+    }
+
+
+REFERENCE_FRAME_MS = 2122.0  # torch-CPU stand-in of the reference frame
+# loop: detect + 8 embeds per frame (BASELINE.md, tools/
+# cpu_reference_baseline.py) — the reference webcam inner loop's cost
+# (src/main.cpp:214-257), the right baseline for an interactive-latency
+# config
+
+
+def bench_latency(args, cfg, det_params, arc_params, log):
+    """Interactive single-frame latency: ONE 640x640 frame through the
+    fused detect+align+embed program (the reference webcam inner loop at
+    batch 1, src/main.cpp:214-257).
+
+    Two numbers, deliberately separate:
+    - device ms/frame — scan-amortized (CHAIN data-dependent steps in
+      ONE dispatch), because a single few-ms dispatch is unmeasurable
+      through the tunnel RTT (docs/PERFORMANCE.md timing discipline);
+    - wall p50/p99 per call — includes the dispatch round trip, i.e.
+      what a caller of THIS host actually waits.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from facerecognizeonnx_tpu.pipeline.fused import frames_to_features
+
+    CHAIN = 20
+
+    def one_step(frames, _):
+        _dets, feats = frames_to_features(
+            det_params, arc_params, frames, cfg, max_faces_embed=FACES_PER_FRAME
+        )
+        bump = (jnp.abs(jnp.sum(feats)) * 0.0 + 1.0).astype(jnp.uint8)
+        return frames + bump, jnp.sum(feats)
+
+    @jax.jit
+    def chained(frames):
+        frames, ss = jax.lax.scan(one_step, frames, None, length=CHAIN)
+        return frames, ss[-1]
+
+    @jax.jit
+    def single(frames):
+        return one_step(frames, None)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (1, 640, 640, 3), dtype=np.uint8))
+
+    t0 = time.time()
+    frames, s = chained(frames)
+    float(s)
+    log(f"latency chained compile+first {time.time() - t0:.1f}s")
+    f1, s = single(frames)
+    float(s)
+
+    t0 = time.time()
+    outer = max(3, args.iters // 4)
+    for _ in range(outer):
+        frames, s = chained(frames)
+    float(s)  # host fetch = true sync over the whole sequential chain
+    device_ms = (time.time() - t0) * 1000.0 / (outer * CHAIN)
+
+    samples = []
+    for _ in range(30):
+        t1 = time.time()
+        f1, s = single(f1)
+        float(s)
+        samples.append(time.time() - t1)
+
+    return {
+        "metric": "single-frame e2e latency, detect+align+embed K=8 (device)",
+        "value": round(device_ms, 2),
+        "unit": "ms/frame",
+        # speedup over the measured reference frame loop (2,122 ms) —
+        # the only latency baseline that exists; >1 is better
+        "vs_baseline": round(REFERENCE_FRAME_MS / device_ms, 1),
+        "detail": {
+            "chain": CHAIN,
+            "outer": outer,
+            "wall_per_call": _percentiles(samples),
+            "baseline": "reference frame loop, torch-CPU stand-in, "
+            f"{REFERENCE_FRAME_MS} ms/frame",
+            "note": "wall_per_call includes the host->device dispatch "
+            "round trip (tunnel RTT on this host); the device number is "
+            "the framework's",
         },
     }
 

@@ -27,6 +27,8 @@ __all__ = [
     "Detections",
     "FaceDetector",
     "FaceRecognizer",
+    "FaceApp",
+    "load_pack",
 ]
 
 
@@ -36,4 +38,12 @@ def __getattr__(name):
         from facerecognizeonnx_tpu.pipeline import api
 
         return getattr(api, name)
+    if name == "FaceApp":
+        from facerecognizeonnx_tpu.pipeline.app import FaceApp
+
+        return FaceApp
+    if name == "load_pack":
+        from facerecognizeonnx_tpu.models.packs import load_pack
+
+        return load_pack
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -495,6 +495,108 @@ def mode_train(args):
     )
 
 
+def mode_eval(args):
+    """LFW-style verification evaluation on an identity-folder dataset
+    (root/<identity>/*.jpg): align every image the way serving does,
+    embed all crops in ONE data-parallel program, build seeded
+    genuine/impostor pairs, and report k-fold cross-validated accuracy
+    (threshold selected on held-out folds), the selected threshold on
+    the (cos+1)/2 scale, and TAR@FAR operating points.
+
+    Framework extension: the reference ships no accuracy tooling — its
+    only quality signal is the compare verdict at 0.6 (reference
+    src/main.cpp:118-123). The reported best_threshold is directly
+    usable as the CLI/API match threshold (train/eval.py docstring).
+    """
+    import json
+
+    detector, recognizer = _load_models(args)
+    from facerecognizeonnx_tpu.parallel.sharded_ops import sharded_batch_embed
+    from facerecognizeonnx_tpu.train.data import IdentityFolderDataset
+    from facerecognizeonnx_tpu.train.eval import (
+        pair_similarities,
+        tar_at_far,
+        verification_accuracy,
+    )
+
+    cfg = detector.cfg
+    root = args.images[0]
+    ds = IdentityFolderDataset(
+        root, detector=detector if args.align else None, cfg=cfg,
+        min_images_per_id=2,
+    )
+    if ds.num_classes < 2:
+        print(f"评测数据不足: {root} 下仅 {ds.num_classes} 个身份 (需要 ≥2)")
+        return -1
+
+    crops, labels = [], []
+    for path, label in ds.samples:
+        crop = ds.crop(path)
+        if crop is not None:
+            crops.append(crop)
+            labels.append(label)
+    labels = np.asarray(labels)
+    feats = np.asarray(
+        sharded_batch_embed(recognizer.params, np.stack(crops), cfg)
+    )
+
+    rng = np.random.default_rng(cfg.seed)
+    genuine = [
+        (i, j)
+        for label in np.unique(labels)
+        for rows in [np.flatnonzero(labels == label)]
+        for a, i in enumerate(rows)
+        for j in rows[a + 1:]
+    ]
+    half = max(1, min(args.pairs // 2, len(genuine)))
+    genuine = [genuine[k] for k in rng.permutation(len(genuine))[:half]]
+    impostor, seen, attempts = [], set(), 0
+    while len(impostor) < half and attempts < 100 * half:
+        attempts += 1
+        i, j = (int(v) for v in rng.integers(0, len(labels), 2))
+        key = (min(i, j), max(i, j))
+        if labels[i] != labels[j] and key not in seen:
+            seen.add(key)
+            impostor.append(key)
+    pairs = genuine + impostor
+    same = np.array([True] * len(genuine) + [False] * len(impostor))
+    a = np.array([p[0] for p in pairs])
+    b = np.array([p[1] for p in pairs])
+    sims = pair_similarities(feats[a], feats[b])
+
+    n_folds = max(2, min(args.folds, len(pairs) // 2))
+    report = verification_accuracy(sims, same, n_folds=n_folds)
+    report.update(
+        {
+            f"tar_at_far_{far:g}": tar_at_far(sims, same, far)["tar"]
+            for far in (1e-2, 1e-3)
+        }
+    )
+    report.update(
+        {
+            "identities": ds.num_classes,
+            "images": len(crops),
+            "genuine_pairs": len(genuine),
+            "impostor_pairs": len(impostor),
+            "n_folds": n_folds,
+            "aligned": bool(args.align),
+        }
+    )
+    print(
+        f"评测: {ds.num_classes} 身份 / {len(crops)} 图像, "
+        f"{len(genuine)} 同人对 + {len(impostor)} 异人对 ({n_folds} 折)"
+    )
+    print(
+        f"准确率: {report['accuracy']:.4f} ± {report['accuracy_std']:.4f} "
+        f"(阈值 {report['best_threshold']:.3f})"
+    )
+    print(
+        f"TAR@FAR=1e-2: {report['tar_at_far_0.01']:.4f}  "
+        f"TAR@FAR=1e-3: {report['tar_at_far_0.001']:.4f}"
+    )
+    print(json.dumps(report))
+
+
 def mode_export(args):
     """Serialize the recognizer back to a torch-export-shaped .onnx
     (onnx_export/) loadable by the reference binary's ORT loadModel
@@ -535,7 +637,7 @@ def main(argv=None):
     parser.add_argument(
         "mode",
         choices=["detect", "compare", "simple", "webcam", "enroll", "identify",
-                 "bench", "export", "serve", "train"],
+                 "bench", "export", "serve", "train", "eval"],
     )
     parser.add_argument("images", nargs="*")
     parser.add_argument("--det-model", default=None, help=".npz/.onnx detector weights")
@@ -553,6 +655,21 @@ def main(argv=None):
         default="500m",
         choices=["500m", "2.5g", "10g", "500m_s2d", "tpu"],
         help="SCRFD detector family member (det_500m default)",
+    )
+    parser.add_argument(
+        "--pack",
+        default=None,
+        choices=["buffalo_sc", "buffalo_s", "buffalo_m", "buffalo_l"],
+        help="named buffalo pack: sets --det-variant/--rec-arch and "
+        "loads the pack's .onnx files from --model-dir when present "
+        "(models/packs.py; the reference hardcodes buffalo_sc, "
+        "src/main.cpp:269-270)",
+    )
+    parser.add_argument(
+        "--model-dir",
+        default="models",
+        help="pack directory holding det_*.onnx / w600k_*.onnx "
+        "(reference layout, models/README.md:28-30)",
     )
     parser.add_argument(
         "--sharded",
@@ -617,10 +734,28 @@ def main(argv=None):
     parser.add_argument(
         "--align",
         action="store_true",
-        help="train: detect+align dataset crops through the loaded "
+        help="train/eval: detect+align dataset crops through the loaded "
         "detector instead of letterbox resize",
     )
+    parser.add_argument("--pairs", type=int, default=2000,
+                        help="eval: total verification pairs (half genuine)")
+    parser.add_argument("--folds", type=int, default=10,
+                        help="eval: cross-validation folds (LFW protocol)")
     args = parser.parse_args(argv)
+
+    if args.pack:
+        from facerecognizeonnx_tpu.models.packs import resolve_pack
+
+        pack, det_path, rec_path = resolve_pack(args.pack, args.model_dir)
+        args.det_variant = pack.det_variant
+        args.rec_arch = pack.rec_arch
+        # explicit --det-model/--rec-model beat the pack's resolved files
+        args.det_model = args.det_model or det_path
+        args.rec_model = args.rec_model or rec_path
+        print(
+            f"模型包 {args.pack}: det_{pack.det_variant} + {pack.rec_arch}"
+            + (f" ({args.model_dir}/)" if det_path or rec_path else " (确定性初始化权重)")
+        )
 
     import jax
 
@@ -642,9 +777,11 @@ def main(argv=None):
         "export": mode_export,
         "serve": mode_serve,
         "train": mode_train,
+        "eval": mode_eval,
     }
     need = {"detect": 1, "compare": 2, "simple": 2, "webcam": 0, "enroll": 1,
-            "identify": 1, "bench": 0, "export": 1, "serve": 0, "train": 1}
+            "identify": 1, "bench": 0, "export": 1, "serve": 0, "train": 1,
+            "eval": 1}
     if len(args.images) < need[args.mode]:
         print("无效的命令或参数")
         return -1

@@ -19,7 +19,25 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 promotes shard_map to the public namespace
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+import inspect as _inspect
+
+# the public API renamed check_rep -> check_vma; accept the old spelling
+_REP_KW = (
+    "check_vma"
+    if "check_vma" in _inspect.signature(_shard_map).parameters
+    else "check_rep"
+)
+
+
+def shard_map(f, **kw):
+    if "check_rep" in kw and _REP_KW != "check_rep":
+        kw[_REP_KW] = kw.pop("check_rep")
+    return _shard_map(f, **kw)
 
 from facerecognizeonnx_tpu.parallel.mesh import make_mesh
 

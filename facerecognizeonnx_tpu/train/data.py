@@ -97,6 +97,12 @@ class IdentityFolderDataset:
         self._crop_cache[path] = crop
         return crop
 
+    def crop(self, path: str) -> Optional[np.ndarray]:
+        """The cached aligned (S, S, 3) uint8 BGR crop for one dataset
+        image path (None if the image is unreadable). Public accessor
+        for evaluation protocols that pair crops across identities."""
+        return self._load_crop(path)
+
     def batches(
         self, batch_size: int, seed: int = 0, epochs: Optional[int] = None
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
