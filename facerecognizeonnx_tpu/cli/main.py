@@ -404,7 +404,7 @@ def mode_serve(args):
     )
     server = make_server(
         detector, recognizer, bank, host=args.host, port=args.port,
-        auth_token=args.auth_token,
+        auth_token=args.auth_token, sharded=args.sharded,
     )
     host, port = server.server_address[:2]
     print(f"服务已启动: http://{host}:{port}  (gallery: {len(bank)} 条)")
@@ -674,7 +674,7 @@ def main(argv=None):
     parser.add_argument(
         "--sharded",
         action="store_true",
-        help="identify: shard the gallery over the device mesh",
+        help="identify/serve: shard the gallery over the device mesh",
     )
     parser.add_argument(
         "--quant",

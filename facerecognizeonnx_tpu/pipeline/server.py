@@ -311,6 +311,7 @@ def make_server(
     auth_token: Optional[str] = None,
     request_timeout: float = 900.0,
     warmup: bool = True,
+    sharded: bool = False,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -327,6 +328,7 @@ def make_server(
     service = IdentifyService(
         detector.params, recognizer.params, bank, cfg=detector.cfg,
         max_batch=max_batch, batch_window_ms=batch_window_ms,
+        sharded=sharded,
     )
     if warmup:
         service.identify(

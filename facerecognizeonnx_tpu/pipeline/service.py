@@ -55,9 +55,11 @@ class IdentifyService:
         max_batch: int = 8,
         batch_window_ms: float = 5.0,
         max_faces: int = 8,
+        sharded: bool = False,
     ):
         self.cfg = cfg
         self.bank = bank
+        self.sharded = sharded  # shard gallery rows over the device mesh
         self.max_batch = max_batch
         self.window_s = batch_window_ms / 1e3
         self.max_faces = max_faces
@@ -162,7 +164,9 @@ class IdentifyService:
             names: List[List[str]] = [[] for _ in range(self.max_faces)]
             sims = np.zeros((self.max_faces, req.top_k), np.float32)
             if k and len(self.bank):
-                n, s = self.bank.search(feats[i][:k], top_k=req.top_k)
+                n, s = self.bank.search(
+                    feats[i][:k], top_k=req.top_k, sharded=self.sharded
+                )
                 for j in range(k):
                     names[j] = n[j]
                     sims[j, : len(s[j])] = s[j]

@@ -308,3 +308,33 @@ def test_http_500_on_handler_exception():
         assert conn.getresponse().status == 200
     finally:
         server.shutdown()
+
+
+def test_sharded_service_matches_dense(rng):
+    """sharded=True routes bank.search through the mesh-sharded top-k
+    (parallel/sharded_ops) — same results as the dense path on the
+    8-virtual-device CPU mesh (serve --sharded)."""
+    cfg = PipelineConfig(compute_dtype="float32")
+    det = init_on_host(lambda: scrfd.init_params(jax.random.PRNGKey(0)))
+    arc = init_on_host(lambda: arcface.init_params(jax.random.PRNGKey(1)))
+    bank = GalleryBank()
+    feats = np.random.default_rng(1).normal(size=(16, 512)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    bank.add_batch([f"person{i}" for i in range(16)], feats)
+    img = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+
+    results = {}
+    for sharded in (False, True):
+        svc = IdentifyService(
+            det, arc, bank, cfg, max_batch=4, batch_window_ms=50,
+            sharded=sharded,
+        )
+        try:
+            results[sharded] = svc.identify(img, top_k=3, timeout=600.0)
+        finally:
+            svc.close()
+
+    dense, shard = results[False], results[True]
+    assert dense.names == shard.names
+    np.testing.assert_allclose(dense.sims, shard.sims, atol=1e-5)
+    np.testing.assert_allclose(dense.boxes, shard.boxes, atol=1e-5)
