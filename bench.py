@@ -64,12 +64,39 @@ def main():
         "enroll, gallery, video) and reports headline as the top-level "
         "metric",
     )
+    ap.add_argument(
+        "--_init-retries", type=int, default=int(os.environ.get(
+            "FRT_BENCH_INIT_RETRIES", "2")), help=argparse.SUPPRESS,
+    )
     args = ap.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # The tunneled TPU backend (axon) intermittently fails init with
+        # UNAVAILABLE (observed outages of hours). A failed init poisons
+        # the in-process backend cache, so retry by RE-EXEC: fresh
+        # process, bounded attempts, so a transient outage doesn't cost
+        # the driver its round-end number.
+        try:
+            jax.devices()
+        except RuntimeError as e:
+            if args._init_retries <= 0:
+                raise
+            print(
+                f"backend init failed ({str(e)[:120]}); "
+                f"{args._init_retries} retries left, sleeping 300s",
+                file=sys.stderr,
+            )
+            time.sleep(300)
+            argv = [a for a in sys.argv if not a.startswith("--_init-retries")]
+            os.execv(
+                sys.executable,
+                [sys.executable] + argv
+                + [f"--_init-retries={args._init_retries - 1}"],
+            )
     # remote-compile round trips cost minutes; persist compiled programs
     jax.config.update(
         "jax_compilation_cache_dir",
