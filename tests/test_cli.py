@@ -125,9 +125,15 @@ def test_serve_sigterm_persists_gallery(jpegs, tmp_path):
     import urllib.request
 
     gallery = str(tmp_path / "g.npz")
+    # --cpu, not only the env var: the axon plugin's sitecustomize stomps
+    # JAX_PLATFORMS at interpreter startup, so without the in-process
+    # jax.config flip the child would try to init the tunneled TPU
+    # backend — and hang the test whenever that backend is unavailable
+    # (observed 2026-08-18: axon outage turned this into the suite's
+    # only failure). Same bootstrap as __graft_entry__.dryrun_multichip.
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONUNBUFFERED="1")
     proc = subprocess.Popen(
-        [sys.executable, "-m", "facerecognizeonnx_tpu", "serve",
+        [sys.executable, "-m", "facerecognizeonnx_tpu", "serve", "--cpu",
          "--rec-arch", "iresnet18", "--gallery", gallery, "--port", "0"],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
