@@ -523,77 +523,134 @@ def mode_eval(args):
     root = args.images[0]
     ds = IdentityFolderDataset(
         root, detector=detector if args.align else None, cfg=cfg,
-        min_images_per_id=2,
-    )
-    if ds.num_classes < 2:
-        print(f"评测数据不足: {root} 下仅 {ds.num_classes} 个身份 (需要 ≥2)")
-        return -1
-
-    crops, labels = [], []
-    for path, label in ds.samples:
-        crop = ds.crop(path)
-        if crop is not None:
-            crops.append(crop)
-            labels.append(label)
-    labels = np.asarray(labels)
-    feats = np.asarray(
-        sharded_batch_embed(recognizer.params, np.stack(crops), cfg)
+        min_images_per_id=1 if args.pairs_file else 2,
     )
 
-    rng = np.random.default_rng(cfg.seed)
-    genuine = [
-        (i, j)
-        for label in np.unique(labels)
-        for rows in [np.flatnonzero(labels == label)]
-        for a, i in enumerate(rows)
-        for j in rows[a + 1:]
-    ]
-    half = max(1, min(args.pairs // 2, len(genuine)))
-    genuine = [genuine[k] for k in rng.permutation(len(genuine))[:half]]
-    impostor, seen, attempts = [], set(), 0
-    while len(impostor) < half and attempts < 100 * half:
-        attempts += 1
-        i, j = (int(v) for v in rng.integers(0, len(labels), 2))
-        key = (min(i, j), max(i, j))
-        if labels[i] != labels[j] and key not in seen:
-            seen.add(key)
-            impostor.append(key)
-    pairs = genuine + impostor
-    same = np.array([True] * len(genuine) + [False] * len(impostor))
-    a = np.array([p[0] for p in pairs])
-    b = np.array([p[1] for p in pairs])
-    sims = pair_similarities(feats[a], feats[b])
+    if args.pairs_file:
+        # standard LFW pairs.txt protocol: 3-token lines are genuine
+        # (Name n1 n2 → Name/Name_%04d.jpg), 4-token lines impostor
+        # (Name1 n1 Name2 n2); header/fold-count lines are skipped.
+        # FILE ORDER IS KEPT — the published fold structure is the
+        # cross-validation split (train/eval.verification_accuracy
+        # splits contiguously).
+        def img(name, idx):
+            return os.path.join(root, name, f"{name}_{int(idx):04d}.jpg")
 
-    n_folds = max(2, min(args.folds, len(pairs) // 2))
+        file_pairs = []
+        with open(args.pairs_file) as f:
+            for ln in f.read().splitlines():
+                parts = ln.split()
+                if len(parts) == 3:
+                    file_pairs.append(
+                        (img(parts[0], parts[1]), img(parts[0], parts[2]), True)
+                    )
+                elif len(parts) == 4:
+                    file_pairs.append(
+                        (img(parts[0], parts[1]), img(parts[2], parts[3]), False)
+                    )
+        if not file_pairs:
+            print(f"pairs 文件无有效行: {args.pairs_file}")
+            return -1
+        uniq = sorted({p for a, b, _ in file_pairs for p in (a, b)})
+        crops, row = [], {}
+        for path in uniq:
+            crop = ds.crop(path)
+            if crop is not None:
+                row[path] = len(crops)
+                crops.append(crop)
+        kept = [(a, b, s) for a, b, s in file_pairs
+                if a in row and b in row]
+        dropped = len(file_pairs) - len(kept)
+        if dropped:
+            print(f"跳过 {dropped} 对 (图像缺失/不可读)")
+        if not kept:
+            print("没有可评测的图像对")
+            return -1
+        feats = np.asarray(
+            sharded_batch_embed(recognizer.params, np.stack(crops), cfg)
+        )
+        a = np.array([row[p[0]] for p in kept])
+        b = np.array([row[p[1]] for p in kept])
+        same = np.array([p[2] for p in kept])
+        genuine_n = int(same.sum())
+        impostor_n = len(kept) - genuine_n
+        n_images, n_ids = len(crops), ds.num_classes
+        sims = pair_similarities(feats[a], feats[b])
+    else:
+        if ds.num_classes < 2:
+            print(f"评测数据不足: {root} 下仅 {ds.num_classes} 个身份 (需要 ≥2)")
+            return -1
+
+        crops, labels = [], []
+        for path, label in ds.samples:
+            crop = ds.crop(path)
+            if crop is not None:
+                crops.append(crop)
+                labels.append(label)
+        labels = np.asarray(labels)
+        feats = np.asarray(
+            sharded_batch_embed(recognizer.params, np.stack(crops), cfg)
+        )
+
+        rng = np.random.default_rng(cfg.seed)
+        genuine = [
+            (i, j)
+            for label in np.unique(labels)
+            for rows in [np.flatnonzero(labels == label)]
+            for a, i in enumerate(rows)
+            for j in rows[a + 1:]
+        ]
+        half = max(1, min(args.pairs // 2, len(genuine)))
+        genuine = [genuine[k] for k in rng.permutation(len(genuine))[:half]]
+        impostor, seen, attempts = [], set(), 0
+        while len(impostor) < half and attempts < 100 * half:
+            attempts += 1
+            i, j = (int(v) for v in rng.integers(0, len(labels), 2))
+            key = (min(i, j), max(i, j))
+            if labels[i] != labels[j] and key not in seen:
+                seen.add(key)
+                impostor.append(key)
+        pairs = genuine + impostor
+        same = np.array([True] * len(genuine) + [False] * len(impostor))
+        a = np.array([p[0] for p in pairs])
+        b = np.array([p[1] for p in pairs])
+        genuine_n, impostor_n = len(genuine), len(impostor)
+        n_images, n_ids = len(crops), ds.num_classes
+        sims = pair_similarities(feats[a], feats[b])
+
+    n_folds = max(2, min(args.folds, len(sims) // 2))
     report = verification_accuracy(sims, same, n_folds=n_folds)
+    if same.any() and (~same).any():  # TAR@FAR needs both pair classes
+        report.update(
+            {
+                f"tar_at_far_{far:g}": tar_at_far(sims, same, far)["tar"]
+                for far in (1e-2, 1e-3)
+            }
+        )
     report.update(
         {
-            f"tar_at_far_{far:g}": tar_at_far(sims, same, far)["tar"]
-            for far in (1e-2, 1e-3)
-        }
-    )
-    report.update(
-        {
-            "identities": ds.num_classes,
-            "images": len(crops),
-            "genuine_pairs": len(genuine),
-            "impostor_pairs": len(impostor),
+            "identities": n_ids,
+            "images": n_images,
+            "genuine_pairs": genuine_n,
+            "impostor_pairs": impostor_n,
             "n_folds": n_folds,
             "aligned": bool(args.align),
+            "pairs_file": args.pairs_file,
         }
     )
     print(
-        f"评测: {ds.num_classes} 身份 / {len(crops)} 图像, "
-        f"{len(genuine)} 同人对 + {len(impostor)} 异人对 ({n_folds} 折)"
+        f"评测: {n_ids} 身份 / {n_images} 图像, "
+        f"{genuine_n} 同人对 + {impostor_n} 异人对 ({n_folds} 折)"
     )
     print(
         f"准确率: {report['accuracy']:.4f} ± {report['accuracy_std']:.4f} "
         f"(阈值 {report['best_threshold']:.3f})"
     )
-    print(
-        f"TAR@FAR=1e-2: {report['tar_at_far_0.01']:.4f}  "
-        f"TAR@FAR=1e-3: {report['tar_at_far_0.001']:.4f}"
-    )
+    if "tar_at_far_0.01" in report:
+        print(
+            f"TAR@FAR=1e-2: {report['tar_at_far_0.01']:.4f}  "
+            f"TAR@FAR=1e-3: {report['tar_at_far_0.001']:.4f}"
+        )
     print(json.dumps(report))
 
 
@@ -741,6 +798,12 @@ def main(argv=None):
                         help="eval: total verification pairs (half genuine)")
     parser.add_argument("--folds", type=int, default=10,
                         help="eval: cross-validation folds (LFW protocol)")
+    parser.add_argument(
+        "--pairs-file", default=None,
+        help="eval: standard LFW pairs.txt (3-token genuine / 4-token "
+        "impostor lines, Name/Name_%%04d.jpg under the root; file order "
+        "defines the folds) instead of seeded pair sampling",
+    )
     args = parser.parse_args(argv)
 
     if args.pack:

@@ -273,3 +273,47 @@ def test_eval_mode(tmp_path, capsys):
     # identities: same-id crops differ only by small noise, so genuine
     # similarity must exceed impostor on average
     assert report["accuracy"] >= 0.5
+
+
+def test_eval_mode_pairs_file(tmp_path, capsys):
+    """Standard LFW pairs.txt protocol: 3-token genuine / 4-token
+    impostor lines over root/Name/Name_%04d.jpg, file order = folds;
+    header lines and pairs with missing images are skipped."""
+    import json
+
+    import cv2
+
+    root = tmp_path / "lfw"
+    rng = np.random.default_rng(21)
+    for ident in ("Alice_One", "Bob_Two"):
+        d = root / ident
+        d.mkdir(parents=True)
+        base = np.kron(
+            np.random.default_rng(hash(ident) % 1000).uniform(0, 255, (28, 28, 3)),
+            np.ones((4, 4, 1)),
+        )
+        for s in (1, 2, 3):
+            img = np.clip(base + rng.normal(0, 8, base.shape), 0, 255)
+            cv2.imwrite(str(d / f"{ident}_{s:04d}.jpg"), img.astype(np.uint8))
+
+    pairs = tmp_path / "pairs.txt"
+    pairs.write_text(
+        "2\t3\n"  # header: skipped
+        "Alice_One\t1\t2\n"
+        "Alice_One\t1\t3\n"
+        "Bob_Two\t1\t2\n"
+        "Alice_One\t1\tBob_Two\t1\n"
+        "Alice_One\t2\tBob_Two\t2\n"
+        "Bob_Two\t3\tAlice_One\t3\n"
+        "Alice_One\t1\tBob_Two\t9\n"  # missing image: dropped with a notice
+    )
+    rc = main(["eval", str(root), "--rec-arch", "iresnet18",
+               "--pairs-file", str(pairs), "--folds", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "跳过 1 对" in out
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["genuine_pairs"] == 3 and report["impostor_pairs"] == 3
+    assert report["images"] == 6
+    assert report["pairs_file"] == str(pairs)
+    assert 0.0 <= report["accuracy"] <= 1.0 and "tar_at_far_0.01" in report
