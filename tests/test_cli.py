@@ -317,3 +317,14 @@ def test_eval_mode_pairs_file(tmp_path, capsys):
     assert report["images"] == 6
     assert report["pairs_file"] == str(pairs)
     assert 0.0 <= report["accuracy"] <= 1.0 and "tar_at_far_0.01" in report
+
+
+def test_pack_flag(jpegs, capsys):
+    """--pack resolves a named buffalo pack to det-variant + rec-arch
+    (models/packs.py) and reports the resolution; missing .onnx files
+    fall back to deterministic-init native weights."""
+    rc = main(["simple", jpegs[0], jpegs[1], "--pack", "buffalo_s"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "模型包 buffalo_s: det_500m + mbf" in out
+    assert "特征维度: 512" in out
