@@ -495,6 +495,62 @@ def mode_train(args):
     )
 
 
+def _eval_detection(args, detector):
+    """Detection AP against a ground-truth JSON (eval --det-gt gt.json):
+    {"relative/or/abs/image/path": [[x1,y1,x2,y2], ...], ...} in
+    original-image pixels. Detections run through the public batched
+    path (FaceDetector.detect_batch — exact single-detect parity) and
+    score via the VOC/WIDER protocol (train/eval.py
+    detection_average_precision). The reference has no detection-quality
+    tooling at all — its detect mode just prints boxes
+    (reference src/main.cpp:54-58)."""
+    import json
+
+    from facerecognizeonnx_tpu.train.eval import detection_average_precision
+
+    root = args.images[0]
+    with open(args.det_gt) as f:
+        gt = json.load(f)
+    names, images, gt_boxes = [], [], []
+    for fname, boxes in sorted(gt.items()):
+        path = fname if os.path.isabs(fname) else os.path.join(root, fname)
+        image = imread(path)
+        if image is None:
+            print(f"跳过不可读图像: {path}")
+            continue
+        names.append(fname)
+        images.append(image)
+        gt_boxes.append(boxes)
+    if not images:
+        print("没有可评测的图像")
+        return -1
+    per_image = detector.detect_batch(images)
+    records = []
+    for faces, boxes in zip(per_image, gt_boxes):
+        records.append(
+            {
+                "boxes": [
+                    [f.box[0], f.box[1], f.box[0] + f.box[2],
+                     f.box[1] + f.box[3]]
+                    for f in faces
+                ],
+                "scores": [f.score for f in faces],
+                "gt": boxes,
+            }
+        )
+    report = detection_average_precision(records, iou_threshold=args.det_iou)
+    report.update({"images": len(images), "iou_threshold": args.det_iou})
+    print(
+        f"检测评测: {len(images)} 图像, {report['n_gt']} 真值框, "
+        f"{report['n_det']} 检测框"
+    )
+    print(
+        f"AP@{args.det_iou:.2f}: {report['ap']:.4f}  "
+        f"precision: {report['precision']:.4f}  recall: {report['recall']:.4f}"
+    )
+    print(json.dumps(report))
+
+
 def mode_eval(args):
     """LFW-style verification evaluation on an identity-folder dataset
     (root/<identity>/*.jpg): align every image the way serving does,
@@ -518,6 +574,9 @@ def mode_eval(args):
         tar_at_far,
         verification_accuracy,
     )
+
+    if args.det_gt:
+        return _eval_detection(args, detector)
 
     cfg = detector.cfg
     root = args.images[0]
@@ -803,6 +862,15 @@ def main(argv=None):
         help="eval: standard LFW pairs.txt (3-token genuine / 4-token "
         "impostor lines, Name/Name_%%04d.jpg under the root; file order "
         "defines the folds) instead of seeded pair sampling",
+    )
+    parser.add_argument(
+        "--det-gt", default=None,
+        help="eval: detection-AP mode — ground-truth JSON mapping image "
+        "path (relative to the root arg) to [[x1,y1,x2,y2], ...]",
+    )
+    parser.add_argument(
+        "--det-iou", type=float, default=0.5,
+        help="eval --det-gt: IoU threshold for a true positive",
     )
     args = parser.parse_args(argv)
 

@@ -328,3 +328,42 @@ def test_pack_flag(jpegs, capsys):
     assert rc == 0
     assert "模型包 buffalo_s: det_500m + mbf" in out
     assert "特征维度: 512" in out
+
+
+def test_eval_mode_detection_ap(jpegs, tmp_path, capsys):
+    """eval --det-gt: detection AP against a ground-truth JSON via the
+    batched detect path. GT = the detector's own positive-area
+    detections, so every GT box has an identical (IoU=1) detection and
+    recall must be exactly 1.0. (Random weights also emit degenerate
+    negative-width boxes — those become unmatchable FPs, which is why
+    the assertion is on recall, not AP; the AP math has its own oracle
+    in test_eval.py.)"""
+    import json
+    import os
+
+    from facerecognizeonnx_tpu.pipeline.api import FaceDetector
+
+    det = FaceDetector()
+    det.load_model()
+    gt = {}
+    for p in jpegs:
+        import cv2
+
+        faces = det.detect(cv2.imread(p))
+        gt[os.path.basename(p)] = [
+            [f.box[0], f.box[1], f.box[0] + f.box[2], f.box[1] + f.box[3]]
+            for f in faces
+            if f.box[2] > 0 and f.box[3] > 0
+        ]
+    assert any(gt.values()), "no positive-area detections to use as GT"
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+
+    rc = main(["eval", os.path.dirname(jpegs[0]), "--det-gt", str(gt_path)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "检测评测" in out and "AP@0.50" in out
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["recall"] == pytest.approx(1.0)
+    assert 0.0 < report["ap"] <= 1.0
+    assert report["n_det"] >= report["n_gt"] > 0
