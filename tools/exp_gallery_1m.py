@@ -65,31 +65,38 @@ def main():
     q0 = g[:128]
 
     results = {}
-    for name, fn in (
-        ("xla_materialize", lambda q: gallery_topk_reference(q, g, 5)),
-        ("xla_bf16_at_rest", lambda q: gallery_topk_reference(
-            q.astype(jnp.bfloat16), g16, 5)),
-        ("pallas_stream", lambda q: gallery_topk_pallas(q, g, 5)),
-        ("pallas_stream_bf16", lambda q: gallery_topk_pallas(
-            q.astype(jnp.bfloat16), g16, 5)),
+    for name, fn, bank in (
+        ("xla_materialize",
+         lambda q, b: gallery_topk_reference(q, b, 5), g),
+        ("xla_bf16_at_rest",
+         lambda q, b: gallery_topk_reference(q.astype(jnp.bfloat16), b, 5),
+         g16),
+        ("pallas_stream",
+         lambda q, b: gallery_topk_pallas(q, b, 5), g),
+        ("pallas_stream_bf16",
+         lambda q, b: gallery_topk_pallas(q.astype(jnp.bfloat16), b, 5),
+         g16),
     ):
         try:
-            def prog(q, f=fn):
+            # the bank MUST be a jit argument, not a closure capture — a
+            # closed-over 2 GB device array becomes a lowered-module
+            # constant (2 GB duplicated in HBM + minutes of lowering)
+            def prog(q, b, f=fn):
                 def body(q, _):
-                    s, _i = f(q)
+                    s, _i = f(q, b)
                     return q + jnp.sum(s).astype(q.dtype) * 1e-12, jnp.sum(s)
                 qf, ss = jax.lax.scan(body, q, None, length=args.inner)
                 return ss[-1], qf
 
             jfn = jax.jit(prog)
             t0 = time.time()
-            s, q = jfn(q0)
+            s, q = jfn(q0, bank)
             float(s)
             print(f"{name}: compile+first {time.time() - t0:.1f}s",
                   file=sys.stderr)
             t0 = time.time()
             for _ in range(args.outer):
-                s, q = jfn(q)
+                s, q = jfn(q, bank)
             float(s)
             dt = time.time() - t0
             qps = 128 * args.outer * args.inner / dt
