@@ -13,6 +13,9 @@ Extras (TPU-framework surface):
   serve --port 8080                          — HTTP identify/enroll service
   export <out.onnx>                          — weights back to ONNX
   train <data_root> --out w.npz              — ArcFace training (id folders)
+  doctor                                     — environment diagnosis
+  --json                                     — one JSON doc on stdout,
+                                               human output on stderr
 
 Headless by default: annotated images are written next to the input
 (`<name>_out.jpg`); `--show` opens windows when a display exists.
@@ -100,6 +103,16 @@ def _show_or_save(args, name: str, image, src_path: str | None = None):
         print(f"结果已保存: {out}")
 
 
+def _face_json(f):
+    """FaceBox → plain-JSON dict (--json contract)."""
+    x, y, w, h = (float(v) for v in f.box)
+    return {
+        "box": [x, y, w, h],
+        "score": float(f.score),
+        "landmarks": np.asarray(f.landmarks, np.float64).reshape(5, 2).tolist(),
+    }
+
+
 def mode_detect(args):
     detector, _ = _load_models(args)
     print("\n=== 测试人脸检测 ===")
@@ -124,7 +137,14 @@ def mode_detect(args):
                     f"置信度: {f.score:.6g}"
                 )
         print(f"共 {len(paths)} 张图像, {total} 个人脸")
-        return
+        return {
+            "mode": "detect",
+            "images": [
+                {"path": p, "faces": [_face_json(f) for f in faces]}
+                for p, faces in zip(paths, all_faces)
+            ],
+            "total_faces": total,
+        }
     image = imread(paths[0])
     if image is None:
         print(f"无法读取图像: {paths[0]}")
@@ -137,6 +157,11 @@ def mode_detect(args):
         print(f"人脸 {i + 1}: 位置({x}, {y}, {w}, {h}) 置信度: {f.score:.6g}")
         draw_face_info(image, f)
     _show_or_save(args, "detection", image, paths[0])
+    return {
+        "mode": "detect",
+        "images": [{"path": paths[0], "faces": [_face_json(f) for f in faces]}],
+        "total_faces": len(faces),
+    }
 
 
 def mode_compare(args):
@@ -183,6 +208,14 @@ def mode_compare(args):
     _show_or_save(
         args, "comparison", np.hstack([pad(image1), pad(image2)]), args.images[0]
     )
+    return {
+        "mode": "compare",
+        "similarity": float(similarity),
+        "same": bool(similarity > threshold),
+        "threshold": threshold,
+        "faces": [_face_json(faces1[0]), _face_json(faces2[0])],
+        "n_faces": [len(faces1), len(faces2)],
+    }
 
 
 def mode_simple(args):
@@ -212,6 +245,12 @@ def mode_simple(args):
         print(f"结果: 同一人 (相似度: {similarity:.6f} > {threshold})")
     else:
         print(f"结果: 不同人 (相似度: {similarity:.6f} <= {threshold})")
+    return {
+        "mode": "simple",
+        "similarity": float(similarity),
+        "same": bool(similarity > threshold),
+        "threshold": threshold,
+    }
 
 
 def mode_webcam(args):
@@ -343,6 +382,13 @@ def mode_enroll(args):
     bank, enrolled = enroll_batch(detector, recognizer, names, images, bank=bank)
     bank.save(args.gallery)
     print(f"已注册 {len(enrolled)}/{len(paths)} 张人脸 → {args.gallery} (共 {len(bank)} 条)")
+    return {
+        "mode": "enroll",
+        "enrolled": list(enrolled),
+        "requested": len(paths),
+        "gallery": args.gallery,
+        "gallery_size": len(bank),
+    }
 
 
 def mode_identify(args):
@@ -362,12 +408,24 @@ def mode_identify(args):
     names, sims = bank.search(
         feats, top_k=min(5, len(bank)), sharded=args.sharded
     )
+    results = []
     for i, (face, nrow, srow) in enumerate(zip(faces, names, sims)):
         best = nrow[0] if srow[0] > 0.6 else "Unknown"
         print(
             f"人脸 {i + 1}: {best} "
             + " ".join(f"{n}:{s:.3f}" for n, s in zip(nrow, srow))
         )
+        results.append(
+            {
+                **_face_json(face),
+                "label": best,
+                "matches": [
+                    {"name": str(n), "similarity": float(s)}
+                    for n, s in zip(nrow, srow)
+                ],
+            }
+        )
+    return {"mode": "identify", "faces": results, "gallery_size": len(bank)}
 
 
 def mode_bench(args):
@@ -549,6 +607,7 @@ def _eval_detection(args, detector):
         f"precision: {report['precision']:.4f}  recall: {report['recall']:.4f}"
     )
     print(json.dumps(report))
+    return {"mode": "eval-detection", **report}
 
 
 def mode_eval(args):
@@ -711,6 +770,7 @@ def mode_eval(args):
             f"TAR@FAR=1e-3: {report['tar_at_far_0.001']:.4f}"
         )
     print(json.dumps(report))
+    return {"mode": "eval", **report}
 
 
 def mode_export(args):
@@ -746,14 +806,87 @@ def mode_export(args):
     print(f"已导出 ONNX 模型: {out} ({len(data) / 1e6:.1f} MB)")
 
 
+def mode_doctor(args):
+    """Environment/installation diagnosis: device backend, native
+    runtime, compile cache, model files. The reference's analog is the
+    troubleshooting playbook in its README (reference README.md:245-271)
+    — here it is executable."""
+    import jax
+
+    from facerecognizeonnx_tpu import version
+    from facerecognizeonnx_tpu.models.packs import PACKS
+    from facerecognizeonnx_tpu.runtime import native
+
+    report = {"mode": "doctor", "version": version.__version__}
+    try:
+        devices = jax.devices()
+        report["backend"] = {
+            "platform": devices[0].platform,
+            "devices": [str(d) for d in devices],
+            "device_count": len(devices),
+            "default_dtype_bits": 64 if jax.config.jax_enable_x64 else 32,
+        }
+        print(f"JAX backend: {devices[0].platform} × {len(devices)}")
+        for d in devices:
+            print(f"  {d}")
+    except Exception as e:  # backend init failure IS the diagnosis
+        report["backend"] = {"error": str(e)}
+        print(f"JAX 后端初始化失败: {e}")
+    report["native_runtime"] = {
+        "available": native.native_available(),
+        "codecs": native.codecs_available(),
+    }
+    print(
+        "native runtime: "
+        + ("可用" + (" +codecs" if report["native_runtime"]["codecs"] else "")
+           if report["native_runtime"]["available"]
+           else "不可用 (纯 Python 回退)")
+    )
+    cache_dir = jax.config.jax_compilation_cache_dir
+    n_cached = (
+        len([f for f in os.listdir(cache_dir)]) if cache_dir and
+        os.path.isdir(cache_dir) else 0
+    )
+    report["compile_cache"] = {"dir": cache_dir, "entries": n_cached}
+    print(f"compile cache: {cache_dir} ({n_cached} 条)")
+    packs = {}
+    for name, pack in PACKS.items():
+        det = os.path.join(args.model_dir, pack.det_file)
+        rec = os.path.join(args.model_dir, pack.rec_file)
+        packs[name] = {
+            "det_file": pack.det_file,
+            "det_present": os.path.exists(det),
+            "rec_file": pack.rec_file,
+            "rec_present": os.path.exists(rec),
+        }
+        status = [
+            f"{pack.det_file}{'✓' if packs[name]['det_present'] else '✗'}",
+            f"{pack.rec_file}{'✓' if packs[name]['rec_present'] else '✗'}",
+        ]
+        print(f"pack {name}: {' '.join(status)}")
+    report["packs"] = packs
+    report["model_dir"] = args.model_dir
+    print("模型文件缺失时使用确定性初始化权重 (语义/性能路径不变)")
+    return report
+
+
 def main(argv=None):
-    print("InsightFace TPU Demo - buffalo_sc 模型 (facerecognizeonnx_tpu)")
-    print("========================================")
+    json_mode = "--json" in (argv if argv is not None else sys.argv[1:])
+    if not json_mode:
+        print("InsightFace TPU Demo - buffalo_sc 模型 (facerecognizeonnx_tpu)")
+        print("========================================")
     parser = argparse.ArgumentParser(prog="facerecognizeonnx_tpu")
     parser.add_argument(
         "mode",
         choices=["detect", "compare", "simple", "webcam", "enroll", "identify",
-                 "bench", "export", "serve", "train", "eval"],
+                 "bench", "export", "serve", "train", "eval", "doctor"],
+    )
+    parser.add_argument(
+        "--json",
+        action="store_true",
+        help="machine-readable: ONE JSON document on stdout, human "
+        "output on stderr (detect/compare/simple/enroll/identify/eval/"
+        "doctor)",
     )
     parser.add_argument("images", nargs="*")
     parser.add_argument("--det-model", default=None, help=".npz/.onnx detector weights")
@@ -909,14 +1042,27 @@ def main(argv=None):
         "serve": mode_serve,
         "train": mode_train,
         "eval": mode_eval,
+        "doctor": mode_doctor,
     }
     need = {"detect": 1, "compare": 2, "simple": 2, "webcam": 0, "enroll": 1,
             "identify": 1, "bench": 0, "export": 1, "serve": 0, "train": 1,
-            "eval": 1}
+            "eval": 1, "doctor": 0}
     if len(args.images) < need[args.mode]:
         print("无效的命令或参数")
         return -1
-    return dispatch[args.mode](args) or 0
+    if args.json:
+        # human output → stderr; stdout carries exactly one JSON doc
+        import contextlib
+        import json as _json
+
+        with contextlib.redirect_stdout(sys.stderr):
+            ret = dispatch[args.mode](args)
+        if isinstance(ret, dict):
+            print(_json.dumps(ret, ensure_ascii=False))
+            return 0
+        return ret or 0
+    ret = dispatch[args.mode](args)
+    return 0 if isinstance(ret, dict) else (ret or 0)
 
 
 if __name__ == "__main__":

@@ -367,3 +367,76 @@ def test_eval_mode_detection_ap(jpegs, tmp_path, capsys):
     assert report["recall"] == pytest.approx(1.0)
     assert 0.0 < report["ap"] <= 1.0
     assert report["n_det"] >= report["n_gt"] > 0
+
+
+def test_json_mode_compare(jpegs, capsys):
+    import json
+
+    rc = main(["compare", jpegs[0], jpegs[1], "--json"])
+    captured = capsys.readouterr()
+    out = captured.out
+    assert rc == 0
+    assert "相似度" in captured.err  # human narration went to stderr
+    doc = json.loads(out)  # stdout is EXACTLY one JSON document
+    assert doc["mode"] == "compare"
+    assert 0.0 <= doc["similarity"] <= 1.0
+    assert doc["threshold"] == 0.6
+    assert doc["same"] == (doc["similarity"] > 0.6)
+    assert len(doc["faces"]) == 2
+    assert len(doc["faces"][0]["landmarks"]) == 5
+
+
+def test_json_mode_detect(jpegs, capsys):
+    import json
+
+    rc = main(["detect", jpegs[0], "--json"])
+    doc = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert doc["mode"] == "detect"
+    assert doc["images"][0]["path"] == jpegs[0]
+    assert doc["total_faces"] == sum(
+        len(im["faces"]) for im in doc["images"]
+    )
+    for f in doc["images"][0]["faces"]:
+        assert len(f["box"]) == 4 and isinstance(f["score"], float)
+
+
+def test_json_mode_identify_and_enroll(jpegs, tmp_path, capsys):
+    import json
+
+    g = str(tmp_path / "g.npz")
+    rc = main(["enroll", jpegs[0], "--gallery", g, "--json"])
+    doc = json.loads(capsys.readouterr().out)
+    assert rc == 0 and doc["mode"] == "enroll"
+    assert doc["gallery_size"] >= 1
+
+    rc = main(["identify", jpegs[1], "--gallery", g, "--json"])
+    doc = json.loads(capsys.readouterr().out)
+    assert rc == 0 and doc["mode"] == "identify"
+    assert doc["gallery_size"] >= 1
+    for face in doc["faces"]:
+        assert "label" in face and face["matches"]
+        for m in face["matches"]:
+            assert 0.0 <= m["similarity"] <= 1.0
+
+
+def test_doctor_mode(capsys):
+    import json
+
+    rc = main(["doctor", "--json"])
+    doc = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert doc["mode"] == "doctor"
+    assert doc["backend"]["device_count"] >= 1
+    assert set(doc["packs"]) == {
+        "buffalo_sc", "buffalo_s", "buffalo_m", "buffalo_l"
+    }
+    assert isinstance(doc["native_runtime"]["available"], bool)
+
+
+def test_doctor_mode_human(capsys):
+    rc = main(["doctor"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "JAX backend" in out
+    assert "pack buffalo_sc" in out
