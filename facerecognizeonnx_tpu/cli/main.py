@@ -392,30 +392,63 @@ def mode_enroll(args):
 
 
 def mode_identify(args):
+    """1:N identification. One probe → per-face top-5; several probes
+    (files/globs/directories) → batched detect (detect_batch) + ONE
+    gallery search over every face of every probe."""
     detector, recognizer = _load_models(args)
     from facerecognizeonnx_tpu.match.gallery import GalleryBank
 
     bank = GalleryBank.load(args.gallery)
-    image = imread(args.images[0])
-    if image is None:
-        print(f"无法读取图像: {args.images[0]}")
-        return
-    faces = detector.detect(image)
-    if not faces:
-        print("未检测到人脸")
-        return
-    feats = recognizer.extract_features(image, faces)
-    names, sims = bank.search(
-        feats, top_k=min(5, len(bank)), sharded=args.sharded
+    paths = []
+    for pattern in args.images:
+        if os.path.isdir(pattern):
+            paths += sorted(glob.glob(os.path.join(pattern, "*")))
+        else:
+            paths += sorted(glob.glob(pattern)) or [pattern]
+    images, kept_paths = [], []
+    for path in paths:
+        image = imread(path)
+        if image is None:
+            print(f"无法读取图像: {path}")
+            continue
+        images.append(image)
+        kept_paths.append(path)
+    if not images:
+        return -1
+    per_image = (
+        detector.detect_batch(images) if len(images) > 1
+        else [detector.detect(images[0])]
     )
-    results = []
-    for i, (face, nrow, srow) in enumerate(zip(faces, names, sims)):
+    # flatten every face of every probe into ONE embed+search round
+    flat_feats, owners = [], []
+    for img_i, (image, faces) in enumerate(zip(images, per_image)):
+        if faces:
+            feats = recognizer.extract_features(image, faces)
+            flat_feats.append(np.asarray(feats))
+            owners += [(img_i, f) for f in faces]
+    out_images = [
+        {"path": p, "faces": []} for p in kept_paths
+    ]
+    if not owners:
+        print("未检测到人脸")
+        return {"mode": "identify", "images": out_images,
+                "gallery_size": len(bank)}
+    names, sims = bank.search(
+        np.concatenate(flat_feats, axis=0),
+        top_k=min(5, len(bank)), sharded=args.sharded,
+    )
+    face_no = {}
+    for (img_i, face), nrow, srow in zip(owners, names, sims):
         best = nrow[0] if srow[0] > 0.6 else "Unknown"
+        face_no[img_i] = face_no.get(img_i, 0) + 1
+        prefix = (
+            f"{os.path.basename(kept_paths[img_i])} " if len(images) > 1 else ""
+        )
         print(
-            f"人脸 {i + 1}: {best} "
+            f"{prefix}人脸 {face_no[img_i]}: {best} "
             + " ".join(f"{n}:{s:.3f}" for n, s in zip(nrow, srow))
         )
-        results.append(
+        out_images[img_i]["faces"].append(
             {
                 **_face_json(face),
                 "label": best,
@@ -425,7 +458,11 @@ def mode_identify(args):
                 ],
             }
         )
-    return {"mode": "identify", "faces": results, "gallery_size": len(bank)}
+    result = {"mode": "identify", "images": out_images,
+              "gallery_size": len(bank)}
+    if len(images) == 1:  # keep the single-probe JSON contract
+        result["faces"] = out_images[0]["faces"]
+    return result
 
 
 def mode_bench(args):

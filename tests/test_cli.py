@@ -440,3 +440,20 @@ def test_doctor_mode_human(capsys):
     assert rc == 0
     assert "JAX backend" in out
     assert "pack buffalo_sc" in out
+
+
+def test_identify_multi_probe(jpegs, tmp_path, capsys):
+    import json
+
+    g = str(tmp_path / "gmulti.npz")
+    rc = main(["enroll", jpegs[0], "--gallery", g])
+    capsys.readouterr()
+    assert rc == 0
+    rc = main(["identify", jpegs[0], jpegs[1], "--gallery", g, "--json"])
+    doc = json.loads(capsys.readouterr().out)
+    assert rc == 0 and doc["mode"] == "identify"
+    assert [im["path"] for im in doc["images"]] == [jpegs[0], jpegs[1]]
+    # multi-probe: every face carries a label + top-k matches
+    for im in doc["images"]:
+        for face in im["faces"]:
+            assert "label" in face and face["matches"]
