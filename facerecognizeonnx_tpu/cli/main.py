@@ -79,12 +79,15 @@ def _load_models(args):
 def _cfg(args) -> PipelineConfig:
     from facerecognizeonnx_tpu.config import auto_config
 
-    return auto_config(
+    overrides = dict(
         detector_weights=args.det_model,
         recognizer_weights=args.rec_model,
         rec_arch=getattr(args, "rec_arch", "iresnet50"),
         scrfd_variant=getattr(args, "det_variant", "500m"),
     )
+    if getattr(args, "det_size", None):
+        overrides["det_input_size"] = args.det_size
+    return auto_config(**overrides)
 
 
 def _show_or_save(args, name: str, image, src_path: str | None = None):
@@ -534,8 +537,15 @@ def mode_train(args):
     w600k weights only (models/README.md:15-19); here the same
     partial-FC ArcFace recipe that produced them runs on the device
     mesh (train/trainer.py + train/fit.py), with crash-safe resume from
-    --train-ckpt."""
+    --train-ckpt.
+
+    `--detector` switches to DETECTOR fine-tuning: root + `--det-gt
+    gt.json` (the same box-JSON format `eval --det-gt` scores against)
+    → --det-model-loadable .npz (train/detector.py)."""
     import jax
+
+    if args.detector:
+        return _train_detector(args)
 
     from facerecognizeonnx_tpu.parallel.mesh import make_mesh
     from facerecognizeonnx_tpu.train.data import IdentityFolderDataset
@@ -588,6 +598,66 @@ def mode_train(args):
         f"训练完成: {int(np.asarray(state.step))} 步 → {args.out} "
         f"(身份数 {ds.num_classes}; 用 --rec-model {args.out} 加载)"
     )
+
+
+def _train_detector(args):
+    """`train <root> --detector --det-gt gt.json`: SCRFD fine-tuning on
+    labeled boxes (train/detector.py). Saves train-form .npz that
+    `--det-model` loads (BN folded at load, pipeline/api.py)."""
+    import jax
+
+    from facerecognizeonnx_tpu.train.detector import (
+        load_detection_dataset,
+        train_detector,
+    )
+    from facerecognizeonnx_tpu.utils.checkpoint import save_params
+
+    if not args.det_gt:
+        print("train --detector 需要 --det-gt gt.json (框标注)")
+        return -1
+    cfg = _cfg(args)
+    root = args.images[0]
+    images, boxes = load_detection_dataset(
+        root, args.det_gt, cfg.det_input_size
+    )
+    n_boxes = sum(len(b) for b in boxes)
+    print(
+        f"检测器训练: {len(images)} 图像 / {n_boxes} 框, "
+        f"det_{cfg.scrfd_variant} @ {cfg.det_input_size}, "
+        f"batch {min(args.batch, len(images))}"
+    )
+    init = None
+    if args.det_model:  # fine-tune from existing weights
+        det = FaceDetector(cfg)
+        # load UNFOLDED: go through the raw loader, not load_model
+        from facerecognizeonnx_tpu.pipeline.api import _load_weights
+        from facerecognizeonnx_tpu.models import scrfd
+
+        init = _load_weights(
+            args.det_model,
+            lambda key: scrfd.init_params(key, variant=cfg.scrfd_variant),
+            cfg.seed,
+        )
+        del det
+    params, losses = train_detector(
+        images, boxes, cfg=cfg, steps=args.steps,
+        batch=min(args.batch, len(images)), lr=args.lr, seed=cfg.seed,
+        init_params=init,
+    )
+    save_params(args.out, jax.device_get(params))
+    print(
+        f"训练完成: {args.steps} 步 (loss {losses[0]:.3f} → {losses[-1]:.3f}) "
+        f"→ {args.out} (用 --det-model {args.out} 加载)"
+    )
+    return {
+        "mode": "train-detector",
+        "steps": args.steps,
+        "images": len(images),
+        "boxes": n_boxes,
+        "loss_first": losses[0],
+        "loss_last": losses[-1],
+        "out": args.out,
+    }
 
 
 def _eval_detection(args, detector):
@@ -980,7 +1050,16 @@ def main(argv=None):
     parser.add_argument(
         "--detector",
         action="store_true",
-        help="export: write the SCRFD detector instead of the recognizer",
+        help="export: write the SCRFD detector instead of the recognizer; "
+        "train: fine-tune the detector on --det-gt boxes instead of "
+        "training the recognizer",
+    )
+    parser.add_argument(
+        "--det-size",
+        type=int,
+        default=None,
+        help="detector input size override (default 640, the reference's; "
+        "smaller sizes train/serve faster at lower small-face recall)",
     )
     parser.add_argument("--show", action="store_true", help="open display windows")
     parser.add_argument(

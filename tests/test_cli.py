@@ -457,3 +457,54 @@ def test_identify_multi_probe(jpegs, tmp_path, capsys):
     for im in doc["images"]:
         for face in im["faces"]:
             assert "label" in face and face["matches"]
+
+
+def test_train_detector_mode(tmp_path, capsys):
+    """CLI `train --detector`: images + eval-format GT JSON → .npz that
+    loads back through --det-model (BN folded on load) and drives
+    detect. The learning proof itself is tests/test_detector_train.py;
+    this covers the CLI plumbing end-to-end at a small det size."""
+    import json
+    import os
+
+    import cv2
+
+    root = tmp_path / "det_data"
+    root.mkdir()
+    rng = np.random.default_rng(11)
+    size, r = 160, 16.0
+    gt = {}
+    for i in range(6):
+        cx, cy = rng.uniform(40, size - 40, 2)
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * (r / 2) ** 2)))
+        img = np.clip(20 + 30 * rng.random((size, size)) + 215 * blob, 0, 255)
+        img = img[..., None].repeat(3, axis=-1).astype(np.uint8)
+        cv2.imwrite(str(root / f"b{i}.png"), img)
+        gt[f"b{i}.png"] = [[cx - r, cy - r, cx + r, cy + r]]
+    gt_path = str(tmp_path / "gt.json")
+    with open(gt_path, "w") as f:
+        json.dump(gt, f)
+
+    out = str(tmp_path / "det_tuned.npz")
+    rc = main([
+        "train", str(root), "--detector", "--det-gt", gt_path,
+        "--det-size", "128", "--steps", "25", "--batch", "6",
+        "--lr", "0.002", "--out", out,
+    ])
+    stdout = capsys.readouterr().out
+    assert rc == 0
+    assert "检测器训练" in stdout and "训练完成" in stdout
+    assert os.path.exists(out)
+
+    # weights load through the public detector path (BN folded on load)
+    from facerecognizeonnx_tpu.config import auto_config
+    from facerecognizeonnx_tpu.pipeline.api import FaceDetector
+
+    det = FaceDetector(auto_config(det_input_size=128, compute_dtype="float32"))
+    assert det.load_model(out) is True
+    capsys.readouterr()
+    probe = np.clip(
+        20 + 30 * rng.random((128, 128)), 0, 255
+    )[..., None].repeat(3, axis=-1).astype(np.uint8)
+    det.detect(probe)  # runs the full fused program with tuned weights
