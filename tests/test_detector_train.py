@@ -121,3 +121,84 @@ def test_scrfd_learns_blob_detection(rng):
         if np.any(np.hypot(bcx - cx, bcy - cy) < BLOB_R * 1.5):
             hits += 1
     assert hits >= 3, (hits, valid.sum(axis=1))
+
+
+# ---------------------------------------------- train/detector.py units
+
+
+def test_make_targets_center_sampling():
+    from facerecognizeonnx_tpu.train.detector import make_targets
+
+    box = np.array([[32.0, 32.0, 96.0, 96.0]])
+    tgt = make_targets(box, det_size=128)
+    for stride in (8, 16, 32):
+        score_t, bbox_t, pos = tgt[stride]
+        pts = anchor_centers(128, stride)
+        inside = (
+            (pts[:, 0] > 32) & (pts[:, 0] < 96)
+            & (pts[:, 1] > 32) & (pts[:, 1] < 96)
+        )
+        assert (pos == inside.astype(np.float32)).all()
+        assert (score_t[:, 0] == pos).all()
+        # distances in stride units, only where positive
+        i = np.flatnonzero(inside)
+        if len(i):
+            k = i[0]
+            expect = np.array(
+                [pts[k, 0] - 32, pts[k, 1] - 32, 96 - pts[k, 0], 96 - pts[k, 1]]
+            ) / stride
+            np.testing.assert_allclose(bbox_t[k], expect, rtol=1e-6)
+        assert (bbox_t[~inside] == 0).all()
+
+
+def test_make_targets_smallest_box_wins():
+    from facerecognizeonnx_tpu.train.detector import make_targets
+
+    # big box contains the small one; anchors inside BOTH must take the
+    # small box's distances (standard center-sampling tiebreak)
+    boxes = np.array([[0.0, 0.0, 128.0, 128.0], [56.0, 56.0, 72.0, 72.0]])
+    tgt = make_targets(boxes, det_size=128)
+    score_t, bbox_t, pos = tgt[8]
+    pts = anchor_centers(128, 8)
+    in_small = (
+        (pts[:, 0] > 56) & (pts[:, 0] < 72)
+        & (pts[:, 1] > 56) & (pts[:, 1] < 72)
+    )
+    assert in_small.any()
+    k = np.flatnonzero(in_small)[0]
+    expect = np.array(
+        [pts[k, 0] - 56, pts[k, 1] - 56, 72 - pts[k, 0], 72 - pts[k, 1]]
+    ) / 8
+    np.testing.assert_allclose(bbox_t[k], expect, rtol=1e-6)
+
+
+def test_make_targets_empty_boxes():
+    from facerecognizeonnx_tpu.train.detector import make_targets
+
+    tgt = make_targets(np.zeros((0, 4), np.float32), det_size=64)
+    for stride in (8, 16, 32):
+        score_t, bbox_t, pos = tgt[stride]
+        assert pos.sum() == 0 and (bbox_t == 0).all()
+
+
+def test_load_detection_dataset_letterbox_scale(tmp_path):
+    """Boxes are carried into letterbox pixels by the reference's
+    scale=min rule (src/face_detector.cpp:100-121 semantics)."""
+    import cv2
+    import json
+
+    from facerecognizeonnx_tpu.train.detector import load_detection_dataset
+
+    img = np.full((100, 200, 3), 60, np.uint8)  # wide → scale = 128/200
+    cv2.imwrite(str(tmp_path / "wide.png"), img)
+    with open(tmp_path / "gt.json", "w") as f:
+        json.dump({"wide.png": [[20, 10, 60, 50]]}, f)
+    images, boxes = load_detection_dataset(
+        str(tmp_path), str(tmp_path / "gt.json"), det_size=128
+    )
+    assert images.shape == (1, 128, 128, 3)
+    s = 128 / 200
+    np.testing.assert_allclose(boxes[0][0], np.array([20, 10, 60, 50]) * s)
+    # top-left anchored pad: bottom band is zeros (int(100*0.64)=64 rows)
+    assert (images[0][64:] == 0).all()
+    assert (images[0][:64, :128] == 60).all()
