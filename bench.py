@@ -65,6 +65,12 @@ def main():
         "metric",
     )
     ap.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the selected config's "
+        "timed region into DIR (view with TensorBoard/Perfetto); "
+        "single-config runs only",
+    )
+    ap.add_argument(
         "--_init-retries", type=int, default=int(os.environ.get(
             "FRT_BENCH_INIT_RETRIES", "2")), help=argparse.SUPPRESS,
     )
@@ -256,8 +262,18 @@ def main():
         "video": lambda: bench_video(args, cfg, det_params, arc_params, log),
     }
     if args.config != "all":
+        if args.profile:
+            # trace ONLY the selected config (compiles included — the
+            # steady-state steps are the tail of the trace)
+            with jax.profiler.trace(args.profile):
+                out = runners[args.config]()
+            log(f"profiler trace written to {args.profile}")
+            print(json.dumps(out))
+            return
         print(json.dumps(runners[args.config]()))
         return
+    if args.profile:
+        log("--profile needs a single --config; ignoring for 'all'")
 
     results = {}
     # headline_mbf_q8 is available but NOT in "all": measured 7,295 vs

@@ -41,9 +41,10 @@ class Face:
 
 
 class FaceApp:
-    def __init__(self, detector, recognizer):
+    def __init__(self, detector, recognizer, gallery=None):
         self.detector = detector
         self.recognizer = recognizer
+        self._bank = gallery  # lazy GalleryBank; built on first enroll
 
     @classmethod
     def from_pack(
@@ -92,3 +93,54 @@ class FaceApp:
         default (src/main.cpp:118)."""
         sim = self.compare(image1, image2)
         return bool(sim > threshold), sim
+
+    # ------------------------------------------------- gallery (1:N)
+
+    @property
+    def gallery(self):
+        """The app's GalleryBank (created on first use). Assignable —
+        e.g. `app.gallery = GalleryBank.load("g.npz")`."""
+        if self._bank is None:
+            from facerecognizeonnx_tpu.match.gallery import GalleryBank
+
+            self._bank = GalleryBank()
+        return self._bank
+
+    @gallery.setter
+    def gallery(self, bank):
+        self._bank = bank
+
+    def enroll(self, name: str, image: np.ndarray) -> bool:
+        """Detect + embed the best face and add it under `name`.
+        False when no face is found (nothing is added)."""
+        faces = self.get(image, max_faces=1)
+        if not faces:
+            return False
+        self.gallery.add(name, faces[0].embedding)
+        return True
+
+    def identify(
+        self, image: np.ndarray, top_k: int = 1, threshold: float = 0.6
+    ) -> List[dict]:
+        """1:N search for every face of the image against the app's
+        gallery: [{"face": Face, "label": name-or-"Unknown",
+        "matches": [(name, sim), ...]}, ...]. Empty gallery or no faces
+        → []. Labels use the reference threshold on (cos+1)/2."""
+        if self._bank is None or not len(self._bank):
+            return []
+        faces = self.get(image)
+        if not faces:
+            return []
+        feats = np.stack([f.embedding for f in faces])
+        names, sims = self.gallery.search(
+            feats, top_k=min(top_k, len(self._bank))
+        )
+        out = []
+        for face, nrow, srow in zip(faces, names, sims):
+            best = nrow[0] if float(srow[0]) > threshold else "Unknown"
+            out.append({
+                "face": face,
+                "label": best,
+                "matches": [(str(n), float(s)) for n, s in zip(nrow, srow)],
+            })
+        return out

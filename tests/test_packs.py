@@ -63,3 +63,40 @@ def test_face_app_from_pack_verify():
 
     # identical-image compare equals the pairwise compare of embeddings
     assert app.compare(img, img) == pytest.approx(sim)
+
+
+def test_face_app_gallery_enroll_identify(tmp_path):
+    """FaceApp 1:N surface: enroll → identify labels the same image's
+    faces; empty-gallery identify is []; gallery is assignable."""
+    from facerecognizeonnx_tpu.match.gallery import GalleryBank
+    from facerecognizeonnx_tpu.pipeline.app import FaceApp
+
+    app = FaceApp.from_pack("buffalo_s")
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+
+    assert app.identify(img) == []  # empty gallery guard
+
+    enrolled = app.enroll("alice", img)
+    if not enrolled:  # random detector found nothing: nothing added
+        assert len(app.gallery) == 0
+        return
+    assert len(app.gallery) == 1
+
+    results = app.identify(img, top_k=1)
+    assert results, "faces existed at enroll time, must exist now"
+    # the enrolled face re-identifies as alice at self-similarity
+    labels = {r["label"] for r in results}
+    assert "alice" in labels
+    best = [r for r in results if r["label"] == "alice"][0]
+    assert best["matches"][0][0] == "alice"
+    assert best["matches"][0][1] > 0.99
+
+    # round-trip through a saved bank
+    p = str(tmp_path / "app_g.npz")
+    app.gallery.save(p)
+    app2 = FaceApp.from_pack("buffalo_s")
+    app2.gallery = GalleryBank.load(p)
+    assert [r["label"] for r in app2.identify(img)] == [
+        r["label"] for r in results
+    ]
