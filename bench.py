@@ -68,7 +68,9 @@ def main():
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the selected config's "
         "timed region into DIR (view with TensorBoard/Perfetto); "
-        "single-config runs only",
+        "single-config runs only. NOTE: the tunneled axon backend "
+        "returns host-side timelines only — device op timelines need "
+        "a PCIe-attached TPU host",
     )
     ap.add_argument(
         "--_init-retries", type=int, default=int(os.environ.get(
