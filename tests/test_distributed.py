@@ -38,6 +38,28 @@ _CHILD = textwrap.dedent(
         jnp.asarray([float(jax.process_index())])
     )
     np.testing.assert_allclose(np.asarray(got).ravel(), [0.0, 1.0])
+
+    # THE multi-host gallery story (SURVEY.md par.5): gallery rows sharded
+    # over a mesh that spans both processes, local top-k + candidate
+    # all-gather crossing the process boundary (DCN in production, TCP
+    # here), identical final top-k on every host.
+    from facerecognizeonnx_tpu.parallel.sharded_ops import sharded_topk_search
+
+    rng = np.random.default_rng(0)  # same seed -> same gallery on both hosts
+    gallery = rng.normal(size=(257, 64)).astype(np.float32)
+    gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+    queries = gallery[:8]
+    sims, idx = sharded_topk_search(queries, gallery, top_k=3, mesh=mesh)
+    sims, idx = np.asarray(sims), np.asarray(idx)
+    assert idx.shape == (8, 3) and (idx[:, 0] == np.arange(8)).all(), idx
+    np.testing.assert_allclose(sims[:, 0], 1.0, atol=1e-5)
+    # oracle: exact top-k on the unsharded gallery
+    full = (queries @ gallery.T + 1.0) / 2.0
+    np.testing.assert_allclose(
+        np.sort(sims, axis=1)[:, ::-1],
+        np.sort(full, axis=1)[:, -3:][:, ::-1],
+        atol=1e-5,
+    )
     print(f"OK pid={jax.process_index()} devices={jax.device_count()}")
     """
 ) % (REPO,)
