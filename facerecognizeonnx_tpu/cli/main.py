@@ -402,6 +402,9 @@ def mode_identify(args):
     from facerecognizeonnx_tpu.match.gallery import GalleryBank
 
     bank = GalleryBank.load(args.gallery)
+    if not len(bank):
+        print(f"gallery 为空: {args.gallery} — 先用 enroll 注册")
+        return -1
     paths = []
     for pattern in args.images:
         if os.path.isdir(pattern):
@@ -422,7 +425,9 @@ def mode_identify(args):
         detector.detect_batch(images) if len(images) > 1
         else [detector.detect(images[0])]
     )
-    # flatten every face of every probe into ONE embed+search round
+    # embed per probe (extract_features batches that probe's K faces in
+    # one dispatch), then ONE gallery search over every face of every
+    # probe
     flat_feats, owners = [], []
     for img_i, (image, faces) in enumerate(zip(images, per_image)):
         if faces:
@@ -434,8 +439,11 @@ def mode_identify(args):
     ]
     if not owners:
         print("未检测到人脸")
-        return {"mode": "identify", "images": out_images,
-                "gallery_size": len(bank)}
+        result = {"mode": "identify", "images": out_images,
+                  "gallery_size": len(bank)}
+        if len(images) == 1:
+            result["faces"] = []  # keep the single-probe JSON contract
+        return result
     names, sims = bank.search(
         np.concatenate(flat_feats, axis=0),
         top_k=min(5, len(bank)), sharded=args.sharded,
@@ -569,6 +577,10 @@ def mode_train(args):
     if ds.num_classes < 2:
         print(f"训练数据不足: {root} 下仅 {ds.num_classes} 个身份 (需要 ≥2)")
         return -1
+    if args.lr is None:
+        args.lr = 0.02  # recognizer default (warmup-cosine peak)
+    if args.batch is None:
+        args.batch = 32
     batch = min(args.batch, len(ds))
     # data-parallel mesh over the largest device count dividing the batch
     n_dev = len(jax.devices())
@@ -615,6 +627,14 @@ def _train_detector(args):
     if not args.det_gt:
         print("train --detector 需要 --det-gt gt.json (框标注)")
         return -1
+    if args.steps <= 0:
+        print(f"--steps 必须 > 0 (得到 {args.steps})")
+        return -1
+    # the recognizer CLI defaults (warmup-cosine 0.02 / batch 32) do NOT
+    # apply here: detector fine-tuning uses flat Adam at the module's
+    # tuned defaults unless the user overrides
+    lr = 2e-3 if args.lr is None else args.lr
+    batch = 8 if args.batch is None else args.batch
     cfg = _cfg(args)
     root = args.images[0]
     images, boxes = load_detection_dataset(
@@ -624,12 +644,12 @@ def _train_detector(args):
     print(
         f"检测器训练: {len(images)} 图像 / {n_boxes} 框, "
         f"det_{cfg.scrfd_variant} @ {cfg.det_input_size}, "
-        f"batch {min(args.batch, len(images))}"
+        f"batch {min(batch, len(images))}"
     )
     init = None
     if args.det_model:  # fine-tune from existing weights
-        det = FaceDetector(cfg)
-        # load UNFOLDED: go through the raw loader, not load_model
+        # load UNFOLDED train-form params: go through the raw loader,
+        # not load_model (which folds BN for inference)
         from facerecognizeonnx_tpu.pipeline.api import _load_weights
         from facerecognizeonnx_tpu.models import scrfd
 
@@ -638,10 +658,18 @@ def _train_detector(args):
             lambda key: scrfd.init_params(key, variant=cfg.scrfd_variant),
             cfg.seed,
         )
-        del det
+        if not (isinstance(init, dict) and "backbone" in init):
+            # .onnx detector graphs import as generic executor params —
+            # inference-only; fine-tuning needs the native train-form
+            # pytree (BN stats etc.), i.e. an .npz from a prior train run
+            print(
+                f"无法微调 {args.det_model}: 检测器微调需要训练形式的 "
+                ".npz 权重 (.onnx 图仅支持推理)"
+            )
+            return -1
     params, losses = train_detector(
         images, boxes, cfg=cfg, steps=args.steps,
-        batch=min(args.batch, len(images)), lr=args.lr, seed=cfg.seed,
+        batch=min(batch, len(images)), lr=lr, seed=cfg.seed,
         init_params=init,
     )
     save_params(args.out, jax.device_get(params))
@@ -1085,9 +1113,15 @@ def main(argv=None):
         help="webcam: enroll the first detected face automatically (headless 's')",
     )
     parser.add_argument("--steps", type=int, default=200, help="train: steps")
-    parser.add_argument("--batch", type=int, default=32, help="train: batch size")
-    parser.add_argument("--lr", type=float, default=0.02,
-                        help="train: peak LR (warmup-cosine schedule)")
+    parser.add_argument(
+        "--batch", type=int, default=None,
+        help="train: batch size (default 32; 8 with --detector)",
+    )
+    parser.add_argument(
+        "--lr", type=float, default=None,
+        help="train: peak LR — warmup-cosine for the recognizer "
+        "(default 0.02), flat Adam for --detector (default 0.002)",
+    )
     parser.add_argument("--margin", type=float, default=0.5,
                         help="train: ArcFace additive angular margin")
     parser.add_argument("--out", default="trained_rec.npz",
@@ -1123,6 +1157,28 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
+    if args.json:
+        # human output (incl. the pack banner and argument diagnostics)
+        # → stderr; stdout carries exactly one JSON document
+        import contextlib
+        import json as _json
+
+        with contextlib.redirect_stdout(sys.stderr):
+            ret = _run(args)
+        if isinstance(ret, dict):
+            print(_json.dumps(ret, ensure_ascii=False))
+            return 0
+        return ret or 0
+    ret = _run(args)
+    return 0 if isinstance(ret, dict) else (ret or 0)
+
+
+def _run(args):
+    if args.det_size and args.det_size % 32:
+        # strides go to 32: the head grids are input_size//stride and
+        # must tile the conv pyramid exactly
+        print(f"--det-size 必须是 32 的倍数 (得到 {args.det_size})")
+        return -1
     if args.pack:
         from facerecognizeonnx_tpu.models.packs import resolve_pack
 
@@ -1166,19 +1222,7 @@ def main(argv=None):
     if len(args.images) < need[args.mode]:
         print("无效的命令或参数")
         return -1
-    if args.json:
-        # human output → stderr; stdout carries exactly one JSON doc
-        import contextlib
-        import json as _json
-
-        with contextlib.redirect_stdout(sys.stderr):
-            ret = dispatch[args.mode](args)
-        if isinstance(ret, dict):
-            print(_json.dumps(ret, ensure_ascii=False))
-            return 0
-        return ret or 0
-    ret = dispatch[args.mode](args)
-    return 0 if isinstance(ret, dict) else (ret or 0)
+    return dispatch[args.mode](args)
 
 
 if __name__ == "__main__":

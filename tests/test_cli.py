@@ -508,3 +508,72 @@ def test_train_detector_mode(tmp_path, capsys):
         20 + 30 * rng.random((128, 128)), 0, 255
     )[..., None].repeat(3, axis=-1).astype(np.uint8)
     det.detect(probe)  # runs the full fused program with tuned weights
+
+
+def test_json_mode_with_pack_banner_on_stderr(capsys):
+    """--pack's banner must not corrupt the --json stdout contract."""
+    import json
+
+    rc = main(["doctor", "--json", "--pack", "buffalo_s"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    doc = json.loads(cap.out)  # stdout parses as EXACTLY one JSON doc
+    assert doc["mode"] == "doctor"
+    assert "模型包 buffalo_s" in cap.err
+
+
+def test_identify_empty_gallery_diagnostic(jpegs, tmp_path, capsys):
+    """Empty gallery → clear diagnostic, not an IndexError."""
+    from facerecognizeonnx_tpu.match.gallery import GalleryBank
+
+    g = str(tmp_path / "empty.npz")
+    GalleryBank().save(g)
+    rc = main(["identify", jpegs[0], "--gallery", g])
+    out = capsys.readouterr().out
+    assert rc == -1
+    assert "gallery 为空" in out
+
+
+def test_det_size_must_be_multiple_of_32(jpegs, capsys):
+    rc = main(["detect", jpegs[0], "--det-size", "100"])
+    out = capsys.readouterr().out
+    assert rc == -1
+    assert "32 的倍数" in out
+
+
+def test_train_detector_rejects_zero_steps(tmp_path, capsys):
+    import json
+
+    gt = str(tmp_path / "gt.json")
+    with open(gt, "w") as f:
+        json.dump({}, f)
+    rc = main(["train", str(tmp_path), "--detector", "--det-gt", gt,
+               "--steps", "0"])
+    out = capsys.readouterr().out
+    assert rc == -1
+    assert "--steps" in out
+
+
+def test_train_detector_rejects_onnx_weights(tmp_path, capsys):
+    """.onnx detector graphs are inference-only in the executor; the
+    fine-tune path must say so instead of KeyError-ing in scrfd.apply."""
+    import json
+
+    import cv2
+
+    onnx_path = str(tmp_path / "det.onnx")
+    rc = main(["export", onnx_path, "--detector", "--det-size", "128"])
+    capsys.readouterr()
+    assert rc == 0
+
+    cv2.imwrite(str(tmp_path / "a.png"),
+                np.zeros((64, 64, 3), np.uint8))
+    gt = str(tmp_path / "gt.json")
+    with open(gt, "w") as f:
+        json.dump({"a.png": [[10, 10, 30, 30]]}, f)
+    rc = main(["train", str(tmp_path), "--detector", "--det-gt", gt,
+               "--det-size", "128", "--steps", "1",
+               "--det-model", onnx_path])
+    out = capsys.readouterr().out
+    assert rc == -1
+    assert "训练形式" in out
