@@ -21,6 +21,7 @@ Usage: python bench.py [--batch B] [--iters N] [--cpu] [--json-only]
 import argparse
 import json
 import sys
+import threading
 import time
 import os
 
@@ -28,6 +29,106 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TARGET_FACES_PER_SEC = 5000.0  # BASELINE.md build target
 FACES_PER_FRAME = 8
+
+# Watchdog knobs: a bench process whose remote compile/execute RPC is
+# lost sleeps FOREVER mid-config (observed once after a tunnel load
+# spike — docs/ROADMAP.md "fifth session" note). The recovery that
+# worked was starting a FRESH process, which rode the persistent
+# compile cache through the same config in seconds. The watchdog
+# automates that: per-config deadline -> re-exec with the completed
+# results saved, bounded attempts per config and re-execs per run.
+CONFIG_DEADLINE_S = float(os.environ.get("FRT_BENCH_CONFIG_DEADLINE_S", "1500"))
+MAX_REEXECS = int(os.environ.get("FRT_BENCH_MAX_REEXECS", "6"))
+MAX_ATTEMPTS_PER_CONFIG = 2
+
+
+def _load_state(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {"results": {}, "attempts": {}, "reexecs": 0}
+
+
+def _save_state(path, state):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def _emit_final(results, order):
+    """Print the single JSON line of record. Must succeed even when the
+    headline config itself errored/timed out — the driver parses the
+    last stdout line, so an exception here loses the whole round."""
+    head = results.get("headline")
+    if not (isinstance(head, dict) and "value" in head):
+        head = {
+            "metric": "faces/sec/chip end-to-end (detect+align+embed)",
+            "value": 0.0, "unit": "faces/sec", "vs_baseline": 0.0,
+            "detail": {"error": (head or {}).get("error", "headline missing")},
+        }
+    out = dict(head)
+    out["detail"] = dict(head.get("detail", {}))
+    out["detail"]["configs"] = {
+        k: v for k, v in results.items() if k != "headline" and k in order
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+class _Watchdog:
+    """Per-config deadline. armed() around each runner; on expiry the
+    watchdog thread either re-execs a fresh bench process resuming from
+    the state file (the wedged RPC thread dies with the old image), or —
+    re-exec budget exhausted — emits the partial results JSON itself and
+    exits, so the driver always gets a parseable line."""
+
+    def __init__(self, state_path, state, order, deadline_s=CONFIG_DEADLINE_S):
+        self.state_path = state_path
+        self.state = state
+        self.order = order
+        self.deadline_s = deadline_s
+        self._cancel = None
+
+    def arm(self, name):
+        self.disarm()
+        ev = threading.Event()
+        self._cancel = ev
+        t = threading.Timer(self.deadline_s, self._expire, (name, ev))
+        t.daemon = True
+        t.start()
+        self._timer = t
+
+    def disarm(self):
+        if self._cancel is not None:
+            self._cancel.set()
+            self._timer.cancel()
+            self._cancel = None
+
+    def _expire(self, name, ev):
+        if ev.is_set():
+            return
+        print(
+            f"WATCHDOG: config '{name}' exceeded {self.deadline_s:.0f}s "
+            f"(attempt {self.state['attempts'].get(name, '?')}); ",
+            file=sys.stderr, end="",
+        )
+        if self.state.get("reexecs", 0) >= MAX_REEXECS:
+            print("re-exec budget exhausted — emitting partial results",
+                  file=sys.stderr)
+            self.state["results"].setdefault(
+                name, {"error": f"timed out after {self.deadline_s:.0f}s"}
+            )
+            _emit_final(self.state["results"], self.order)
+            os._exit(0)
+        print("re-exec with saved results", file=sys.stderr)
+        sys.stderr.flush()
+        argv = [a for a in sys.argv if not a.startswith("--_state")]
+        os.execv(
+            sys.executable,
+            [sys.executable] + argv + [f"--_state={self.state_path}"],
+        )
 
 
 def _percentiles(samples_s):
@@ -58,6 +159,7 @@ def main():
         choices=[
             "headline", "headline_mbf", "headline_q8", "headline_mbf_q8",
             "headline_onnx", "latency", "enroll", "gallery", "video", "all",
+            "selftest",
         ],
         help="BASELINE.json config to run; 'all' (default) runs eight "
         "(headline, headline_mbf, headline_q8, headline_onnx, latency, "
@@ -76,7 +178,39 @@ def main():
         "--_init-retries", type=int, default=int(os.environ.get(
             "FRT_BENCH_INIT_RETRIES", "2")), help=argparse.SUPPRESS,
     )
+    ap.add_argument("--_state", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    # Watchdog resume state (see _Watchdog). Created on first run so the
+    # re-exec'd process finds completed configs and attempt counts.
+    if args._state is None:
+        import tempfile
+
+        fd, args._state = tempfile.mkstemp(prefix="frt_bench_", suffix=".json")
+        os.close(fd)
+        sys.argv.append(f"--_state={args._state}")
+    state = _load_state(args._state)
+    state["reexecs"] = state.get("reexecs", 0) + (1 if state["results"] or state["attempts"] else 0)
+
+    if args.config == "selftest":
+        # Watchdog plumbing check, no jax: hangs on the first attempt
+        # when FRT_BENCH_TEST_HANG is set, succeeds on the retry.
+        name = "selftest"
+        wd = _Watchdog(args._state, state, [name])
+        attempt = state["attempts"].get(name, 0)
+        state["attempts"][name] = attempt + 1
+        _save_state(args._state, state)
+        wd.arm(name)
+        if os.environ.get("FRT_BENCH_TEST_HANG") and attempt == 0:
+            while True:
+                time.sleep(3600)
+        wd.disarm()
+        print(json.dumps({
+            "metric": "bench watchdog selftest", "value": 1.0, "unit": "ok",
+            "vs_baseline": None, "detail": {"attempt": attempt,
+                                            "reexecs": state["reexecs"]},
+        }))
+        return
 
     import jax
 
@@ -264,43 +398,68 @@ def main():
         "video": lambda: bench_video(args, cfg, det_params, arc_params, log),
     }
     if args.config != "all":
+        wd = _Watchdog(args._state, state, [args.config])
+        state["attempts"][args.config] = state["attempts"].get(args.config, 0) + 1
+        _save_state(args._state, state)
+        wd.arm(args.config)
         if args.profile:
             # trace ONLY the selected config (compiles included — the
             # steady-state steps are the tail of the trace)
             with jax.profiler.trace(args.profile):
                 out = runners[args.config]()
+            wd.disarm()
             log(f"profiler trace written to {args.profile}")
             print(json.dumps(out))
             return
-        print(json.dumps(runners[args.config]()))
+        out = runners[args.config]()
+        wd.disarm()
+        print(json.dumps(out))
         return
     if args.profile:
         log("--profile needs a single --config; ignoring for 'all'")
 
-    results = {}
     # headline_mbf_q8 is available but NOT in "all": measured 7,295 vs
     # 7,283 bf16-mbf — at mbf's FLOP count the pipeline is warp+detector
     # bound, so int8 embed moves nothing (it remains the 4x-smaller-
     # weights deployment point).
-    for name in (
+    order = [
         "headline", "headline_mbf", "headline_q8", "headline_onnx",
         "latency", "enroll", "gallery", "video",
-    ):
+    ]
+    results = state["results"]
+    if results:
+        log(f"resuming: {sorted(results)} already done "
+            f"(re-exec {state['reexecs']}/{MAX_REEXECS})")
+    wd = _Watchdog(args._state, state, order)
+    for name in order:
+        if name in results:
+            continue
+        attempt = state["attempts"].get(name, 0)
+        if attempt >= MAX_ATTEMPTS_PER_CONFIG:
+            results[name] = {
+                "error": f"timed out (watchdog, {attempt} attempts)"
+            }
+            _save_state(args._state, state)
+            log(f"{name} SKIPPED after {attempt} timed-out attempts")
+            continue
+        state["attempts"][name] = attempt + 1
+        _save_state(args._state, state)
         t0 = time.time()
+        wd.arm(name)
         try:
             results[name] = runners[name]()
         except Exception as e:  # one config must not sink the whole bench
             log(f"{name} FAILED: {e}")
             results[name] = {"error": str(e)[:300]}
+        wd.disarm()
+        _save_state(args._state, state)
         log(f"{name} done in {time.time() - t0:.1f}s")
 
-    head = results["headline"]
-    out = dict(head)
-    out["detail"] = dict(head.get("detail", {}))
-    out["detail"]["configs"] = {
-        k: v for k, v in results.items() if k != "headline"
-    }
-    print(json.dumps(out))
+    _emit_final(results, order)
+    try:
+        os.unlink(args._state)
+    except OSError:
+        pass
 
 
 def bench_headline(args, cfg, det_params, arc_params, log):
