@@ -510,8 +510,10 @@ def mode_serve(args):
     )
     server = make_server(
         detector, recognizer, bank, host=args.host, port=args.port,
-        auth_token=args.auth_token, sharded=args.sharded,
+        auth_token=args.auth_token, sharded=args.sharded, aot=args.aot,
     )
+    if args.aot:
+        print(f"identify 热路径使用 AOT 程序包: {args.aot}")
     host, port = server.server_address[:2]
     print(f"服务已启动: http://{host}:{port}  (gallery: {len(bank)} 条)")
 
@@ -909,17 +911,52 @@ def mode_eval(args):
 
 
 def mode_export(args):
-    """Serialize the recognizer back to a torch-export-shaped .onnx
-    (onnx_export/) loadable by the reference binary's ORT loadModel
-    (reference src/face_recognizer.cpp:21-91). Loads UNFOLDED weights —
-    the exported graph carries explicit BatchNormalization nodes like
-    the published w600k files."""
+    """Serialize models for deployment, dispatched on the output path:
+
+    *.onnx — the recognizer (or --detector) back to a torch-export-
+    shaped graph (onnx_export/) loadable by the reference binary's ORT
+    loadModel (reference src/face_recognizer.cpp:21-91). Loads UNFOLDED
+    weights — the exported graph carries explicit BatchNormalization
+    nodes like the published w600k files.
+
+    *.frtz — the WHOLE fused detect→align→embed step as a jax.export
+    AOT bundle (pipeline/aot.save_bundle): program + weights in one
+    file, loadable with zero model-building Python (`--batch` fixes the
+    frame batch; default 8)."""
     from facerecognizeonnx_tpu.models import recognizer_module, scrfd
     from facerecognizeonnx_tpu.onnx_export import export_detector, export_recognizer
     from facerecognizeonnx_tpu.pipeline.api import _load_weights
 
     cfg = _cfg(args)
     out = args.images[0]
+    if out.endswith(".frtz"):
+        from facerecognizeonnx_tpu.models import arcface
+        from facerecognizeonnx_tpu.pipeline.aot import save_bundle
+
+        arch_mod = recognizer_module(cfg.rec_arch)
+        det_params = _load_weights(
+            args.det_model,
+            lambda key: scrfd.fold_inference_params(
+                scrfd.init_params(key, variant=cfg.scrfd_variant)
+            ),
+            cfg.seed,
+        )
+        arc_params = _load_weights(
+            args.rec_model,
+            lambda key: arch_mod.fold_inference_params(
+                arch_mod.init_params(
+                    key, arch=cfg.rec_arch, input_size=cfg.rec_input_size,
+                    feature_dim=cfg.feature_dim,
+                )
+            ),
+            cfg.seed + 1,
+        )
+        batch = args.batch or 8
+        save_bundle(out, det_params, arc_params, cfg, batch=batch)
+        size_mb = os.path.getsize(out) / 1e6
+        print(f"已导出 AOT 程序包: {out} ({size_mb:.1f} MB, batch={batch})")
+        return {"mode": "export", "out": out, "format": "frtz",
+                "batch": batch, "bytes": os.path.getsize(out)}
     if args.detector:
         params = _load_weights(
             args.det_model,
@@ -1059,6 +1096,12 @@ def main(argv=None):
         "--sharded",
         action="store_true",
         help="identify/serve: shard the gallery over the device mesh",
+    )
+    parser.add_argument(
+        "--aot",
+        default=None,
+        help="serve: .frtz AOT bundle (from `export out.frtz`) to run "
+        "the identify hot path from the pinned exported program",
     )
     parser.add_argument(
         "--quant",

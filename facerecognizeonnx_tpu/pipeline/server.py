@@ -312,6 +312,7 @@ def make_server(
     request_timeout: float = 900.0,
     warmup: bool = True,
     sharded: bool = False,
+    aot=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -319,7 +320,10 @@ def make_server(
     params feed one shared IdentifyService; enrolls go through the
     standard detect→align→embed path and mutate `bank` in place.
     auth_token, when set, gates every endpoint behind
-    `Authorization: Bearer <token>`. warmup runs one synthetic identify
+    `Authorization: Bearer <token>`. aot: a .frtz path or AotPipeline —
+    the identify hot path then runs the version-pinned exported program
+    instead of retracing (pipeline/aot.py); enroll still routes through
+    detector/recognizer. warmup runs one synthetic identify
     before returning so the fused program is compiled before the first
     client request (a tunneled-TPU first compile takes minutes;
     request_timeout covers anything that still compiles lazily, e.g.
@@ -328,7 +332,7 @@ def make_server(
     service = IdentifyService(
         detector.params, recognizer.params, bank, cfg=detector.cfg,
         max_batch=max_batch, batch_window_ms=batch_window_ms,
-        sharded=sharded,
+        sharded=sharded, aot=aot,
     )
     if warmup:
         service.identify(

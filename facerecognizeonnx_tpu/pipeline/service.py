@@ -56,18 +56,44 @@ class IdentifyService:
         batch_window_ms: float = 5.0,
         max_faces: int = 8,
         sharded: bool = False,
+        aot=None,
     ):
+        """aot: a pipeline.aot.AotPipeline (or .frtz path) to use as the
+        fused program instead of tracing det_params/arc_params — the
+        deployed artifact is then version-pinned and identical across
+        serving processes. Its baked batch/config override max_batch,
+        max_faces, and cfg (they must be consistent by construction)."""
+        if isinstance(aot, str):
+            from facerecognizeonnx_tpu.pipeline.aot import load_bundle
+
+            aot = load_bundle(aot)
+        if aot is not None:
+            cfg = aot.config
+            max_batch = aot.batch
+            max_faces = aot.max_faces_embed
         self.cfg = cfg
         self.bank = bank
         self.sharded = sharded  # shard gallery rows over the device mesh
         self.max_batch = max_batch
         self.window_s = batch_window_ms / 1e3
         self.max_faces = max_faces
-        self._program = jax.jit(
-            lambda frames: frames_to_features(
-                det_params, arc_params, frames, cfg, max_faces
+        if aot is not None:
+            from facerecognizeonnx_tpu.types import Detections
+
+            def _aot_program(frames):
+                boxes, scores, kps, valid, feats = aot(frames)
+                return (
+                    Detections(boxes=boxes, scores=scores, kps=kps, valid=valid),
+                    feats,
+                )
+
+            self._program = _aot_program
+        else:
+            self._program = jax.jit(
+                lambda frames: frames_to_features(
+                    det_params, arc_params, frames, cfg, max_faces
+                )
             )
-        )
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._batches_run = 0
         self._requests_served = 0

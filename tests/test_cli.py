@@ -88,6 +88,27 @@ def test_export_mode_writes_onnx(tmp_path, capsys):
     assert map_recognizer(out, "iresnet18") is not None
 
 
+def test_export_mode_writes_frtz_bundle(tmp_path, capsys):
+    """`export out.frtz` produces a loadable+runnable AOT bundle."""
+    out = str(tmp_path / "pipeline.frtz")
+    rc = main([
+        "export", out, "--rec-arch", "iresnet18", "--det-size", "128",
+        "--batch", "1",
+    ])
+    assert rc == 0
+    assert "已导出 AOT 程序包" in capsys.readouterr().out
+
+    import numpy as np
+
+    from facerecognizeonnx_tpu.pipeline.aot import load_bundle
+
+    pipe = load_bundle(out)
+    assert pipe.batch == 1
+    frames = np.zeros((1, 128, 128, 3), np.uint8)
+    outs = pipe(frames)
+    assert np.asarray(outs[4]).shape[-1] == 512
+
+
 def test_simple_mode_quantized(jpegs, capsys):
     rc = main(["simple", jpegs[0], jpegs[1], "--rec-arch", "mbf",
                "--quant", "w8a8-fast"])

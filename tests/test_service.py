@@ -338,3 +338,43 @@ def test_sharded_service_matches_dense(rng):
     assert dense.names == shard.names
     np.testing.assert_allclose(dense.sims, shard.sims, atol=1e-5)
     np.testing.assert_allclose(dense.boxes, shard.boxes, atol=1e-5)
+
+
+def test_aot_service_matches_traced(rng, tmp_path):
+    """IdentifyService(aot=bundle) serves identical results through the
+    version-pinned exported program (serve --aot)."""
+    from facerecognizeonnx_tpu.pipeline.aot import save_bundle
+
+    cfg = PipelineConfig(
+        det_input_size=128, compute_dtype="float32", pre_nms_topk=64,
+        max_faces=16,
+    )
+    det = init_on_host(lambda: scrfd.init_params(jax.random.PRNGKey(0)))
+    arc = init_on_host(
+        lambda: arcface.init_params(jax.random.PRNGKey(1), arch="iresnet18")
+    )
+    path = str(tmp_path / "svc.frtz")
+    save_bundle(path, det, arc, cfg, batch=4, max_faces_embed=8)
+
+    bank = GalleryBank()
+    feats = np.random.default_rng(1).normal(size=(12, 512)).astype(np.float32)
+    bank.add_batch([f"person{i}" for i in range(12)], feats)
+    img = rng.integers(0, 256, (96, 120, 3), dtype=np.uint8)
+
+    results = {}
+    for key, kwargs in (
+        ("traced", dict(cfg=cfg, max_batch=4)),
+        ("aot", dict(aot=path)),
+    ):
+        svc = IdentifyService(det, arc, bank, batch_window_ms=50, **kwargs)
+        try:
+            assert svc.max_batch == 4 and svc.cfg.det_input_size == 128
+            results[key] = svc.identify(img, top_k=2, timeout=600.0)
+        finally:
+            svc.close()
+
+    traced, aot = results["traced"], results["aot"]
+    np.testing.assert_array_equal(traced.valid, aot.valid)
+    assert traced.names == aot.names
+    np.testing.assert_allclose(traced.sims, aot.sims, atol=1e-4)
+    np.testing.assert_allclose(traced.boxes, aot.boxes, atol=1e-2)
