@@ -19,6 +19,7 @@ Usage: python bench.py [--batch B] [--iters N] [--cpu] [--json-only]
 """
 
 import argparse
+import functools
 import json
 import sys
 import threading
@@ -73,6 +74,10 @@ def _emit_final(results, order):
     out["detail"]["configs"] = {
         k: v for k, v in results.items() if k != "headline" and k in order
     }
+    if results.get("_hbm_gbps") is not None:
+        # chip-health context: compare against ~600+ GB/s on an
+        # uncontended v5e; a low number marks a shared/degraded chip
+        out["detail"]["hbm_read_gbps"] = results["_hbm_gbps"]
     print(json.dumps(out))
     sys.stdout.flush()
 
@@ -455,6 +460,9 @@ def main():
         _save_state(args._state, state)
         log(f"{name} done in {time.time() - t0:.1f}s")
 
+    results["_hbm_gbps"] = _probe_hbm_gbps(log)
+    log(f"hbm probe: {results['_hbm_gbps']} GB/s")
+    _save_state(args._state, state)
     _emit_final(results, order)
     try:
         os.unlink(args._state)
@@ -731,6 +739,45 @@ def bench_gallery(args, log):
 REFERENCE_VIDEO_FPS = 0.47  # torch-CPU stand-in of the reference frame
 # loop: 2,122 ms/frame at 8 faces/frame (BASELINE.md, tools/
 # cpu_reference_baseline.py) — the only measured baseline for this config
+
+
+def _probe_hbm_gbps(log):
+    """Device HBM read-bandwidth probe, recorded in the final JSON so a
+    contended/degraded chip annotates its own numbers (observed
+    2026-08-18: f32-heavy configs ran ~1.6× the record while the chip
+    was shared — docs/PERFORMANCE.md contention caveat). Two chained-
+    scan lengths difference out the dispatch/tunnel constant."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        x = jax.jit(
+            lambda k: jax.random.normal(k, (64 * 1024 * 1024,), jnp.float32)
+        )(jax.random.PRNGKey(0))  # 256 MB resident
+
+        def prog(c, x, length):
+            def body(c, _):
+                # the multiply depends on the carry, so XLA cannot hoist
+                # the loop-invariant reduction out of the scan (measured:
+                # a plain sum(x) chain reports the elided ~8 TB/s)
+                return c + jnp.sum(x * (1.0 + c * 1e-30)) * 1e-30, ()
+            c, _ = jax.lax.scan(body, c, None, length=length)
+            return c
+
+        times = {}
+        for length in (32, 256):
+            f = jax.jit(functools.partial(prog, length=length))
+            float(f(jnp.float32(0.0), x))  # compile + warm
+            t0 = time.time()
+            float(f(jnp.float32(0.0), x))
+            times[length] = time.time() - t0
+        dt = times[256] - times[32]
+        if dt <= 0:
+            return None
+        return round(x.nbytes * (256 - 32) / dt / 1e9, 1)
+    except Exception as e:
+        log(f"hbm probe failed: {e}")
+        return None
 
 
 def _probe_h2d_rate_mbps(log):
