@@ -21,6 +21,15 @@ Two artifact flavors:
   retrained recognizer drops in via `swap_params` without re-tracing —
   mirroring how the reference separates its binary from its model files
   (reference src/main.cpp:269-270 loads models as data at startup).
+
+Validated on a real v5e with the Pallas warp kernel inside (the Mosaic
+payload serializes at trace time): export+save 43.6 s, 176 MB bundle
+for the production iresnet50 config, outputs matching the live traced
+program (in bf16, two equivalent programs can differ by ~3e-3 in raw
+detector scores — enough to reorder NEAR-TIE detections on noise
+inputs; real faces' top-k is stable). Cross-platform: a CPU-only build
+host exports a platforms=["tpu"] bundle fine — no TPU backend needed
+at build time; jax.export rejects running it on the wrong platform.
 """
 
 from __future__ import annotations

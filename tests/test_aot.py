@@ -102,6 +102,27 @@ def test_bundle_rejects_wrong_shape_and_garbage(params, tmp_path, rng):
         load_bundle(str(tmp_path / "missing.frtz"))
 
 
+def test_bundle_cross_platform_export(params, tmp_path):
+    """A CPU-only build host can export a TPU bundle — the Pallas warp
+    kernel lowers to its serialized Mosaic payload at trace time, no TPU
+    backend needed (deployment build-machine story). Running it on the
+    wrong platform is rejected by jax.export's platform check."""
+    from facerecognizeonnx_tpu.pipeline.aot import load_bundle, save_bundle
+
+    det, arc = params
+    cfg_tpu = PipelineConfig(
+        det_input_size=SIZE, compute_dtype="bfloat16", pre_nms_topk=64,
+        max_faces=16, warp_impl="pallas",
+    )
+    path = str(tmp_path / "tpu_only.frtz")
+    save_bundle(path, det, arc, cfg_tpu, batch=1, max_faces_embed=4,
+                platforms=["tpu"])
+    pipe = load_bundle(path)
+    assert pipe.meta["platforms"] == ["tpu"]
+    with pytest.raises(Exception, match="(?i)platform|tpu"):
+        pipe(np.zeros((1, SIZE, SIZE, 3), np.uint8))
+
+
 def test_load_rejects_garbage(tmp_path):
     from facerecognizeonnx_tpu.errors import ModelLoadError
 

@@ -52,3 +52,16 @@ def test_watchdog_emits_partial_json_when_budget_exhausted():
     # the line of record is still parseable, with the failure in-band
     assert doc["value"] == 0.0
     assert "timed out" in doc["detail"]["configs"]["selftest"]["error"]
+
+
+def test_hbm_probe_returns_plausible_rate():
+    """The HBM probe must produce a real bandwidth, not the ~8 TB/s of
+    an XLA-elided loop-invariant reduction (the carry-dependent multiply
+    is what keeps the scan honest)."""
+    import bench
+
+    gbps = bench._probe_hbm_gbps(lambda *_: None)
+    assert gbps is not None
+    # host DDR lands in the tens-to-hundreds of GB/s; an elided scan
+    # reports thousands
+    assert 1.0 < gbps < 3000.0, gbps

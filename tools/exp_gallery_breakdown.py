@@ -138,6 +138,14 @@ def main():
     run("topk_only_on_sims", lambda s, b: topk_only(s, b), g, q_init=sims0)
     run("argmax_only_on_sims",
         lambda s, b: (jnp.max(s[:, :G], axis=1),), g, q_init=sims0)
+    # byte-bound or algorithm-bound? top_k over bf16 sims halves the
+    # selection bytes; if the time halves too, bf16-select + exact
+    # rescore is the ~2x lever — if it doesn't, lax.top_k is
+    # algorithm-bound and the lever dies.
+    sims0_bf16 = sims0.astype(jnp.bfloat16)
+    run("topk_only_on_sims_bf16",
+        lambda s, b: (jax.lax.top_k(s[:, :G], K)[0].astype(jnp.float32),),
+        g, q_init=sims0_bf16)
 
     # ------------------------------------------------- candidate designs
     from facerecognizeonnx_tpu.ops.pallas_gallery import (
@@ -174,21 +182,42 @@ def main():
     run(f"rescore_int8_c{args.cands}",
         functools.partial(rescore, c=args.cands, lo="int8"), g8, g)
 
+    def bf16_select(q, bank_f32, *, c):
+        """Full-precision matmul, bf16 SIMS for the top-c selection
+        (halves the selection read), exact f32 rescore of c candidates
+        per query. Unlike `rescore(lo='bf16')` the stage-1 matmul is
+        untouched — only the materialized sims and their top_k shrink."""
+        s1 = (q @ bank_f32.T).astype(jnp.bfloat16)
+        _cs, cid = jax.lax.top_k(s1, c)
+        cand = bank_f32[cid]
+        s2 = jnp.einsum("qd,qcd->qc", q, cand)
+        s2 = (s2 + 1.0) * 0.5
+        sk, ik_local = jax.lax.top_k(s2, K)
+        return sk, jnp.take_along_axis(cid, ik_local, axis=1)
+
+    run(f"bf16_select_c{max(K, 16)}",
+        functools.partial(bf16_select, c=max(K, 16)), g)
+
     # ------------------------------------------------- recall check
     try:
         s_ex, i_ex = jax.jit(
             lambda q, b: gallery_topk_reference(q, b, K))(q0, g)
         i_ex = np.asarray(i_ex)
-        for lo, bank in (("bf16", g16), ("int8", g8)):
-            _s, i_rs = jax.jit(
-                functools.partial(rescore, c=args.cands, lo=lo))(q0, bank, g)
+        def recall_of(name, i_rs):
             i_rs = np.asarray(i_rs)
             hit = np.mean([
                 len(set(i_ex[r]) & set(i_rs[r])) / K for r in range(Q)
             ])
-            results[f"recall@{K}_rescore_{lo}"] = round(float(hit), 4)
-            print(f"recall@{K} rescore_{lo} c={args.cands}: {hit:.4f}",
-                  file=sys.stderr)
+            results[f"recall@{K}_{name}"] = round(float(hit), 4)
+            print(f"recall@{K} {name}: {hit:.4f}", file=sys.stderr)
+
+        for lo, bank in (("bf16", g16), ("int8", g8)):
+            _s, i_rs = jax.jit(
+                functools.partial(rescore, c=args.cands, lo=lo))(q0, bank, g)
+            recall_of(f"rescore_{lo}_c{args.cands}", i_rs)
+        _s, i_bs = jax.jit(
+            functools.partial(bf16_select, c=max(K, 16)))(q0, g)
+        recall_of(f"bf16_select_c{max(K, 16)}", i_bs)
     except Exception as e:
         print(f"recall check FAILED: {str(e)[:300]}", file=sys.stderr)
 
