@@ -1039,6 +1039,34 @@ def mode_doctor(args):
     report["packs"] = packs
     report["model_dir"] = args.model_dir
     print("模型文件缺失时使用确定性初始化权重 (语义/性能路径不变)")
+    if os.path.exists(args.gallery):
+        from facerecognizeonnx_tpu.match.gallery import GalleryBank
+
+        try:
+            bank = GalleryBank.load(args.gallery)
+            dup = [
+                (a, b, s) for a, b, s in bank.find_duplicates(threshold=0.8)
+                if a != b  # same-name rows are intentional multi-enrolls
+            ]
+            report["gallery"] = {
+                "path": args.gallery,
+                "rows": len(bank),
+                "identities": len(set(bank.names)),
+                "cross_name_duplicates": [
+                    {"a": a, "b": b, "sim": round(s, 4)} for a, b, s in dup[:20]
+                ],
+            }
+            print(
+                f"gallery {args.gallery}: {len(bank)} 条 / "
+                f"{report['gallery']['identities']} 个身份"
+            )
+            if dup:
+                print(f"疑似重复注册 (不同名字, 相似度 > 0.80): {len(dup)} 对")
+                for a, b, s in dup[:5]:
+                    print(f"  {a} ≈ {b}  ({s:.4f})")
+        except Exception as e:
+            report["gallery"] = {"path": args.gallery, "error": str(e)}
+            print(f"gallery 加载失败: {e}")
     return report
 
 

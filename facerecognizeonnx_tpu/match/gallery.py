@@ -270,6 +270,52 @@ class GalleryBank:
         names = [[store.names[j] for j in row] for row in idx]
         return names, sims
 
+    def find_duplicates(
+        self, threshold: float = 0.8, chunk: int = 128
+    ) -> List[Tuple[str, str, float]]:
+        """Gallery hygiene: pairs of rows whose similarity exceeds
+        `threshold` on the (cos+1)/2 scale — double enrollments under
+        different names, or the same name enrolled twice from near-
+        identical photos. Returns (name_i, name_j, sim) with i < j,
+        sorted by descending similarity; same-name duplicate rows are
+        included (they are usually intentional multi-enrollments, so
+        callers filter on name_i != name_j for the alarming subset).
+
+        Runs as chunked self-queries through the same device search
+        path as identify (one (chunk, D) x (D, G) matmul per chunk);
+        a 100k-row bank scans in a few hundred chunk searches.
+        """
+        store = self._store
+        n = len(store.names)
+        if n < 2:
+            return []
+        import jax
+        import jax.numpy as jnp
+
+        bank = self._device_feats(store=store)
+
+        @jax.jit
+        def chunk_sims(rows, b):
+            return (rows @ b.T + 1.0) * 0.5
+
+        out: List[Tuple[str, str, float]] = []
+        feats = store.feats
+        for lo in range(0, n, chunk):
+            rows = jnp.asarray(feats[lo : lo + chunk])
+            sims = np.asarray(chunk_sims(rows, bank))
+            # keep strictly-upper-triangle pairs so each duplicate pair
+            # reports once; the self-pair (i, i) sits on the diagonal
+            for r in range(sims.shape[0]):
+                i = lo + r
+                js = np.nonzero(sims[r, i + 1 :] > threshold)[0] + i + 1
+                for j in js:
+                    out.append(
+                        (store.names[i], store.names[int(j)],
+                         float(sims[r, int(j)]))
+                    )
+        out.sort(key=lambda t: -t[2])
+        return out
+
     # ----------------------------------------------------------- persist
 
     def save(self, path: str) -> None:

@@ -200,3 +200,32 @@ def test_gallery_search_vs_remove_race(rng):
     t_churn.join(timeout=60)
     assert not errors, errors
     assert len(bank) == 64
+
+
+def test_gallery_find_duplicates(rng):
+    """find_duplicates surfaces near-identical rows across names and
+    honors the strict-upper-triangle one-report-per-pair contract."""
+    from facerecognizeonnx_tpu.match.gallery import GalleryBank
+
+    bank = GalleryBank(feature_dim=64)
+    feats = rng.normal(size=(20, 64)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    # plant one cross-name duplicate: row 17 is a tiny perturbation of 3
+    feats[17] = feats[3] + 0.01 * rng.normal(size=64).astype(np.float32)
+    feats[17] /= np.linalg.norm(feats[17])
+    names = [f"p{i}" for i in range(20)]
+    bank.add_batch(names, feats)
+
+    dup = bank.find_duplicates(threshold=0.9, chunk=7)  # chunk < n: seams
+    pairs = {(a, b) for a, b, _ in dup}
+    assert ("p3", "p17") in pairs
+    # no self-pairs, no reversed double-reports
+    assert all(a != b for a, b, _ in dup)
+    assert ("p17", "p3") not in pairs
+    # random 64-d unit rows are far apart: nothing else above 0.9
+    assert pairs == {("p3", "p17")}
+    sim = dict(((a, b), s) for a, b, s in dup)[("p3", "p17")]
+    assert sim > 0.99
+
+    # empty / single-row banks return no pairs
+    assert GalleryBank(feature_dim=64).find_duplicates() == []

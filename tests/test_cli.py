@@ -598,3 +598,32 @@ def test_train_detector_rejects_onnx_weights(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == -1
     assert "训练形式" in out
+
+
+def test_doctor_gallery_inspection(tmp_path, capsys):
+    """doctor reports gallery stats + cross-name duplicates when the
+    --gallery file exists."""
+    import json
+
+    import numpy as np
+
+    from facerecognizeonnx_tpu.match.gallery import GalleryBank
+
+    rng = np.random.default_rng(5)
+    feats = rng.normal(size=(6, 512)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    feats[5] = feats[0]  # exact duplicate under a different name
+    bank = GalleryBank()
+    bank.add_batch([f"u{i}" for i in range(6)], feats)
+    gpath = str(tmp_path / "g.npz")
+    bank.save(gpath)
+
+    rc = main(["doctor", "--json", "--gallery", gpath])
+    doc = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert doc["gallery"]["rows"] == 6
+    assert doc["gallery"]["identities"] == 6
+    dups = doc["gallery"]["cross_name_duplicates"]
+    assert {"a": "u0", "b": "u5", "sim": 1.0} in [
+        {**d, "sim": round(d["sim"])} for d in dups
+    ]
