@@ -137,6 +137,28 @@ def sharded_batch_embed(
     return fn(params, x)[:b_real]
 
 
+def pack_recognizer(arc_params):
+    """Split a recognizer into (pytree, rebuild) for shard_map transport.
+
+    A QuantizedRecognizer (models/quant.py) is an object, not a pytree:
+    ship its (params, qstate) arrays through shard_map and re-wrap them
+    inside the traced region (strip=False — stripping re-traces with
+    eval_shape, which must not run inside a trace). Plain param pytrees
+    pass through unchanged.
+    """
+    if hasattr(arc_params, "qstate"):
+        from facerecognizeonnx_tpu.models.quant import QuantizedRecognizer
+
+        quant_apply = arc_params.model_apply
+        ap_tree = (arc_params.params, arc_params.qstate)
+
+        def rebuild(ap):
+            return QuantizedRecognizer(quant_apply, ap[0], ap[1], strip=False)
+
+        return ap_tree, rebuild
+    return arc_params, lambda ap: ap
+
+
 def sharded_frames_to_features(
     det_params,
     arc_params,
@@ -172,23 +194,7 @@ def sharded_frames_to_features(
     b_real = np.asarray(frames_u8).shape[0]
     x = jax.device_put(frames_host, NamedSharding(mesh, P(axis)))
 
-    # A QuantizedRecognizer (models/quant.py) is an object, not a pytree:
-    # ship its (params, qstate) arrays through shard_map and re-wrap them
-    # inside the traced region (strip=False — stripping re-traces with
-    # eval_shape, which must not run inside a trace).
-    if hasattr(arc_params, "qstate"):
-        from facerecognizeonnx_tpu.models.quant import QuantizedRecognizer
-
-        quant_apply = arc_params.model_apply
-        ap_tree = (arc_params.params, arc_params.qstate)
-
-        def _rebuild(ap):
-            return QuantizedRecognizer(quant_apply, ap[0], ap[1], strip=False)
-    else:
-        ap_tree = arc_params
-
-        def _rebuild(ap):
-            return ap
+    ap_tree, _rebuild = pack_recognizer(arc_params)
 
     sh = P(axis)
     fn = jax.jit(
