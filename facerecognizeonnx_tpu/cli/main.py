@@ -1096,8 +1096,9 @@ def main(argv=None):
         "--rec-arch",
         default="iresnet50",
         choices=["iresnet18", "iresnet34", "iresnet50", "iresnet100",
-                 "mbf", "mbf_large"],
-        help="recognizer family member (w600k_r50=iresnet50, w600k_mbf=mbf)",
+                 "mbf", "mbf_large", "vit_t", "vit_s", "vit_b"],
+        help="recognizer family member (w600k_r50=iresnet50, w600k_mbf=mbf; "
+             "vit_* = the MXU-first transformer family)",
     )
     parser.add_argument(
         "--det-variant",

@@ -173,3 +173,42 @@ def iresnet_forward(params, x_nhwc: np.ndarray) -> np.ndarray:
         out = out @ w + _t(params["fc"]["b"])
         out = bn(params["features_bn"], out)
         return out.numpy()
+
+
+def vit_forward(params, x_nhwc: np.ndarray) -> np.ndarray:
+    """ViT face embedder (models/vit.py topology) in torch, consuming
+    the same params pytree. Patchify → pre-LN blocks → mean-pool head."""
+    dim = np.asarray(params["patch"]["w"]).shape[1]
+    from facerecognizeonnx_tpu.models.vit import PATCH, VIT_SPECS_BY_DIM
+
+    heads = VIT_SPECS_BY_DIM[dim][2]
+    x = _t(x_nhwc)  # (B, S, S, 3) — patchify in the same NHWC order
+    b, s = x.shape[0], x.shape[1]
+    g = s // PATCH
+    t = x.reshape(b, g, PATCH, g, PATCH, 3).permute(0, 1, 3, 2, 4, 5)
+    t = t.reshape(b, g * g, PATCH * PATCH * 3)
+
+    def lin(p, v):
+        return F.linear(v, _t(p["w"]).T, _t(p["b"]) if "b" in p else None)
+
+    def ln(p, v):
+        return F.layer_norm(v, (v.shape[-1],), _t(p["scale"]), _t(p["bias"]),
+                            eps=1e-6)
+
+    h = lin(params["patch"], t) + _t(params["pos_embed"])
+    n_tok = h.shape[1]
+    dh = dim // heads
+    for blk in params["blocks"]:
+        q, k, v = lin(blk["qkv"], ln(blk["ln1"], h)).reshape(
+            b, n_tok, 3, heads, dh
+        ).permute(2, 0, 3, 1, 4)  # (3, B, H, T, dh)
+        attn = torch.softmax(q @ k.transpose(-1, -2) * dh ** -0.5, dim=-1)
+        o = (attn @ v).permute(0, 2, 1, 3).reshape(b, n_tok, dim)
+        h = h + lin(blk["proj"], o)
+        m = ln(blk["ln2"], h)
+        h = h + lin(blk["mlp2"], F.gelu(lin(blk["mlp1"], m)))
+    h = ln(params["ln_f"], h).mean(dim=1)
+    out = lin(params["fc"], h)
+    if "features_bn" in params:
+        out = bn(params["features_bn"], out)
+    return out.numpy()
