@@ -19,6 +19,12 @@ across compute units" is Megatron-style channel sharding over a mesh
     FLOPs — recomputing them everywhere is cheaper than gathering);
   * the head FC is column-parallel with a feature-axis `all_gather`.
 
+The ViT family (models/vit.py) gets the textbook Megatron mapping:
+qkv and mlp1 are column-parallel (attention HEADS shard with the qkv
+columns — pack_tp_params splits the fused qkv so a contiguous column
+shard is a contiguous head group), proj and mlp2 are row-parallel with
+one psum each — two psums per block, the residual stream replicated.
+
 Why this is worth having even though one v5e chip fits w600k_r50
 easily: each chip keeps 1/P of the conv weights resident (HBM headroom
 for giant galleries co-resident with the model), per-chip FLOPs drop
@@ -64,20 +70,49 @@ def _bn_spec(spec):
     return {"scale": spec, "bias": spec, "mean": spec, "var": spec}
 
 
+def pack_tp_params(params: Dict) -> Dict:
+    """Repack a param tree for tensor-parallel sharding.
+
+    ViT: split each block's fused qkv GEMM into per-projection wq/wk/wv
+    so a contiguous column shard of each equals a contiguous group of
+    HEADS (q's columns are head-major — models/vit.py _attention slices
+    then reshapes (B*T, D) → (B, T, H, dh)); the fused [q|k|v] column
+    order would hand chip 0 "all of q and half of k" instead.
+    IResNet/other trees pass through unchanged.
+    """
+    if "pos_embed" not in params:
+        return params
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    blocks = []
+    for blk in params["blocks"]:
+        d = blk["qkv"]["w"].shape[0]
+        nb = {k: v for k, v in blk.items() if k != "qkv"}
+        w, b = blk["qkv"]["w"], blk["qkv"]["b"]
+        nb["wq"] = {"w": w[:, :d], "b": b[:d]}
+        nb["wk"] = {"w": w[:, d:2 * d], "b": b[d:2 * d]}
+        nb["wv"] = {"w": w[:, 2 * d:], "b": b[2 * d:]}
+        blocks.append(nb)
+    out["blocks"] = blocks
+    return out
+
+
 def recognizer_param_specs(params: Dict, axis: str = "model") -> Dict:
     """PartitionSpec pytree (same structure as `params`) for tensor-
-    parallel IResNet inference over mesh axis `axis`.
+    parallel inference over mesh axis `axis`.
 
-    Works on folded (fold_inference_params) and unfolded param trees:
-    post-conv BNs, when present, are per-channel ops on the sharded
-    activation and shard with it. Raises on non-IResNet trees
-    (MobileFaceNet's depthwise body has no free channel axis worth
-    sharding at 112px; use dp for it).
+    IResNet: Megatron conv sharding (module docstring). ViT (pass the
+    pack_tp_params output): textbook Megatron — qkv/mlp1 column-parallel,
+    proj/mlp2 row-parallel, attention heads shard with the qkv columns.
+    Works on folded and unfolded trees. Raises on MobileFaceNet (its
+    depthwise body has no free channel axis worth sharding at 112px;
+    use dp for it).
     """
+    if "pos_embed" in params:
+        return _vit_param_specs(params, axis)
     if "layer1" not in params:
         raise ValueError(
-            "tensor-parallel embed supports IResNet param trees only "
-            "(got no 'layer1'; MobileFaceNet shards over 'data' instead)"
+            "tensor-parallel embed supports IResNet and ViT param trees "
+            "only (MobileFaceNet shards over 'data' instead)"
         )
     col_w = P(None, None, None, axis)  # HWIO: shard O
     row_w = P(None, None, axis, None)  # HWIO: shard I
@@ -117,6 +152,41 @@ def recognizer_param_specs(params: Dict, axis: str = "model") -> Dict:
     return specs
 
 
+def _vit_param_specs(params: Dict, axis: str = "model") -> Dict:
+    if "blocks" in params and params["blocks"] and "qkv" in params["blocks"][0]:
+        raise ValueError(
+            "vit param tree still has fused qkv blocks — call "
+            "pack_tp_params(params) before recognizer_param_specs"
+        )
+    col = {"w": P(None, axis), "b": P(axis)}
+    row_w = P(axis, None)
+    ln = {"scale": _REP, "bias": _REP}
+    specs: Dict = {
+        "patch": {"w": _REP, "b": _REP},
+        "pos_embed": _REP,
+        "ln_f": ln,
+        "fc": {"w": P(None, axis)},
+    }
+    if "b" in params["fc"]:
+        specs["fc"]["b"] = P(axis)
+    if "features_bn" in params:
+        specs["features_bn"] = _bn_spec(_REP)
+    specs["blocks"] = [
+        {
+            "ln1": ln,
+            "wq": dict(col),
+            "wk": dict(col),
+            "wv": dict(col),
+            "proj": {"w": row_w, "b": _REP},
+            "ln2": ln,
+            "mlp1": dict(col),
+            "mlp2": {"w": row_w, "b": _REP},
+        }
+        for _ in params["blocks"]
+    ]
+    return specs
+
+
 def _bn(p, x):
     return L.batch_norm(p, x, train=False)[0]
 
@@ -146,13 +216,78 @@ def _tp_block(p, x, stride, dtype, axis):
     return out + identity
 
 
+def _vit_tp_block(p, h, b, t, dtype, axis):
+    """One pre-LN transformer block, Megatron-sharded: qkv column (heads
+    shard with it), proj row + psum; mlp1 column, mlp2 row + psum —
+    TWO psums per block, the residual stream stays replicated."""
+    from facerecognizeonnx_tpu.models.vit import _layer_norm
+
+    xin = _layer_norm(p["ln1"], h)
+    wqkv = {
+        "w": jnp.concatenate(
+            [p["wq"]["w"], p["wk"]["w"], p["wv"]["w"]], axis=1
+        ),
+        "b": jnp.concatenate([p["wq"]["b"], p["wk"]["b"], p["wv"]["b"]]),
+    }
+    qkv = L.linear(wqkv, xin, compute_dtype=dtype).astype(dtype)
+    dloc = qkv.shape[-1] // 3
+    dh = 128  # head width is pinned in models/vit.py VIT_SPECS
+    hl = dloc // dh  # local heads
+    q = qkv[:, :dloc].reshape(b, t, hl, dh)
+    k = qkv[:, dloc:2 * dloc].reshape(b, t, hl, dh)
+    v = qkv[:, 2 * dloc:].reshape(b, t, hl, dh)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (dh ** -0.5)
+    attn = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32
+    ).astype(dtype)
+    out = L.linear(
+        {"w": p["proj"]["w"]}, out.reshape(b * t, dloc), compute_dtype=dtype
+    )
+    out = lax.psum(out, axis)
+    h = h + (out + p["proj"]["b"]).astype(dtype)
+
+    m = _layer_norm(p["ln2"], h)
+    m = L.linear(p["mlp1"], m, compute_dtype=dtype)
+    m = jax.nn.gelu(m.astype(dtype), approximate=False)
+    m = L.linear({"w": p["mlp2"]["w"]}, m, compute_dtype=dtype)
+    m = lax.psum(m, axis)
+    return h + (m + p["mlp2"]["b"]).astype(dtype)
+
+
+def _tp_apply_vit(params: Dict, x: jnp.ndarray, axis: str, compute_dtype):
+    from facerecognizeonnx_tpu.models.vit import _layer_norm, _patchify
+
+    dtype = compute_dtype
+    tokens = _patchify(x.astype(dtype), x.shape[1])
+    b, t, pdim = tokens.shape
+    h = L.linear(
+        params["patch"], tokens.reshape(b * t, pdim), compute_dtype=dtype
+    ).astype(dtype)
+    h = (h.reshape(b, t, -1) + params["pos_embed"].astype(dtype)
+         ).reshape(b * t, -1)
+    for blk in params["blocks"]:
+        h = _vit_tp_block(blk, h, b, t, dtype, axis)
+    h = _layer_norm(params["ln_f"], h).reshape(b, t, -1).mean(axis=1)
+    out = L.linear(params["fc"], h, compute_dtype=dtype)  # local dout/P
+    out = lax.all_gather(out, axis, axis=1, tiled=True)
+    if "features_bn" in params:
+        out = _bn(params["features_bn"], out)
+    return out.astype(jnp.float32)
+
+
 def tp_apply(params: Dict, x: jnp.ndarray, axis: str, compute_dtype=jnp.float32):
-    """Channel-sharded IResNet forward (call inside shard_map/pjit over
-    `axis`; `params` leaves are the LOCAL shards per
-    recognizer_param_specs). x: (B, S, S, 3) replicated, normalized RGB.
-    Returns (B, 512) float32, replicated — same math as
-    models/arcface.apply(train=False) up to psum summation order.
+    """Channel-sharded recognizer forward (call inside shard_map/pjit
+    over `axis`; `params` leaves are the LOCAL shards per
+    recognizer_param_specs — ViT trees packed by pack_tp_params).
+    x: (B, S, S, 3) replicated, normalized RGB. Returns (B, 512)
+    float32, replicated — same math as the model's
+    apply(train=False) up to psum summation order.
     """
+    if "pos_embed" in params:
+        return _tp_apply_vit(params, x, axis, compute_dtype)
     x = x.astype(compute_dtype)
     out = L.conv2d(params["conv1"], x, 1, 1, compute_dtype=compute_dtype)
     if "bn1" in params:
@@ -192,6 +327,16 @@ def tp_embed_crops(
     if mesh is None:
         n = len(jax.devices())
         mesh = make_mesh((axis,), (n,))
+    params = pack_tp_params(params)
+    if "pos_embed" in params:
+        from facerecognizeonnx_tpu.models.vit import VIT_SPECS_BY_DIM
+
+        heads = VIT_SPECS_BY_DIM[params["pos_embed"].shape[1]][2]
+        if heads % mesh.shape[axis]:
+            raise ValueError(
+                f"vit tensor parallelism shards heads: {heads} heads do "
+                f"not divide over {mesh.shape[axis]} '{axis}' shards"
+            )
     specs = recognizer_param_specs(params, axis)
     n_data = mesh.shape.get(data_axis, 1)
     has_data = data_axis in mesh.axis_names and n_data > 1

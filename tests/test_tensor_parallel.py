@@ -97,3 +97,42 @@ def test_weights_actually_sharded(params, crops):
 def test_mbf_rejected(crops):
     with pytest.raises(ValueError, match="IResNet"):
         recognizer_param_specs({"body": {}, "fc": {}})
+
+
+# ------------------------------------------------------------- ViT tp
+
+
+@pytest.fixture(scope="module")
+def vit_params():
+    from facerecognizeonnx_tpu.models import vit
+
+    return init_on_host(
+        lambda: vit.init_params(jax.random.PRNGKey(6), arch="vit_t")
+    )
+
+
+def test_vit_tp2(vit_params, crops):
+    mesh = make_mesh(("model",), (2,), devices=jax.devices()[:2])
+    _check(vit_params, crops, mesh)
+
+
+def test_vit_tp2_folded_dp_x_tp(vit_params, crops):
+    from facerecognizeonnx_tpu.models import vit
+
+    folded = jax.tree_util.tree_map(
+        np.asarray, vit.fold_inference_params(vit_params)
+    )
+    mesh = make_mesh(("data", "model"), (2, 2), devices=jax.devices()[:4])
+    _check(folded, crops, mesh)
+
+
+def test_vit_heads_not_divisible_raises(vit_params, crops):
+    # vit_t has 2 heads (dh=128) — a 4-wide model axis cannot shard them
+    mesh = make_mesh(("model",), (4,), devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="heads"):
+        tp_embed_crops(vit_params, crops, CFG, mesh=mesh)
+
+
+def test_vit_specs_require_packed(vit_params):
+    with pytest.raises(ValueError, match="pack_tp_params"):
+        recognizer_param_specs(vit_params)
