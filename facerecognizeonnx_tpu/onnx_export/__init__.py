@@ -39,8 +39,9 @@ def export_recognizer(
     path: Optional[str] = None,
     input_size: int = 112,
 ) -> bytes:
-    """Serialize recognizer params (IResNet or MobileFaceNet, dispatched
-    on pytree structure like models.recognizer_apply) to ONNX bytes;
+    """Serialize recognizer params (IResNet, MobileFaceNet, or ViT,
+    dispatched on pytree structure like models.recognizer_apply) to
+    ONNX bytes (ViT: decomposed-LN opset-9 graph, emit.emit_vit_onnx);
     also writes `path` when given. Raises ValueError on folded params —
     re-import the original weights or keep the unfolded pytree around.
     """
@@ -60,6 +61,10 @@ def export_recognizer(
         data = emit_mobilefacenet_onnx(params, input_size=input_size)
     elif "layer1" in params:
         data = emit_iresnet_onnx(params, _iresnet_arch_of(params), input_size)
+    elif "pos_embed" in params:
+        from facerecognizeonnx_tpu.onnx_export.emit import emit_vit_onnx
+
+        data = emit_vit_onnx(params, input_size=input_size)
     else:
         raise ValueError("unrecognized recognizer param structure")
     if path is not None:

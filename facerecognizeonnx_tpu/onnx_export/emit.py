@@ -327,3 +327,124 @@ def emit_scrfd_onnx(params, input_size: int = 640) -> bytes:
         ordered,
     )
     return W.model(g)
+
+
+def emit_vit_onnx(params, input_size: int = 112) -> bytes:
+    """ViT recognizer (models/vit.py) → ONNX, opset 9.
+
+    Opset 9 because exact-erf GELU exports as an Erf node (opset ≥ 9);
+    LayerNorm is DECOMPOSED (ReduceMean/Sub/Mul/Sqrt/Div) so the graph
+    loads in any ONNX Runtime ≥ 1.0 — the ONNX LayerNormalization op
+    only exists from opset 17. The patch GEMM exports as the stride-8
+    Conv it is equivalent to (models/vit._patchify flattens (py, px, c),
+    matching Conv's (c, ky, kx) contraction after the weight transpose
+    below). Batch dim rides as ONNX Reshape '0' dims.
+    """
+    from facerecognizeonnx_tpu.models.vit import PATCH, VIT_SPECS_BY_DIM
+
+    pos = np.asarray(params["pos_embed"], np.float32)
+    d = pos.shape[1]
+    heads = VIT_SPECS_BY_DIM[d][2]
+    dh = d // heads
+    t = (input_size // PATCH) ** 2
+    if t != pos.shape[0]:
+        raise ValueError(
+            f"input_size {input_size} gives {t} tokens; params have "
+            f"pos_embed for {pos.shape[0]}"
+        )
+    e = _Emitter()
+
+    def init_(tag_, arr):
+        nm = e.name(tag_)
+        e.inits.append(
+            W.tensor(nm, np.ascontiguousarray(np.asarray(arr, np.float32)))
+        )
+        return nm
+
+    def shape_init(vals):
+        nm = e.name("shape")
+        e.inits.append(W.tensor(nm, np.asarray(vals, np.int64), use_raw=False))
+        return nm
+
+    def n_(op, inputs, **attrs):
+        out = e.name(op.lower())
+        e.nodes.append(W.node(op, inputs, [out], **attrs))
+        return out
+
+    def matmul_bias(x, p, tag_):
+        mm = n_("MatMul", [x, init_(tag_ + "_w", p["w"])])
+        if "b" in p:
+            mm = n_("Add", [mm, init_(tag_ + "_b", p["b"])])
+        return mm
+
+    def layer_norm(x, p):
+        mu = n_("ReduceMean", [x], axes=[2], keepdims=1)
+        sub = n_("Sub", [x, mu])
+        var = n_("ReduceMean", [n_("Mul", [sub, sub])], axes=[2], keepdims=1)
+        den = n_("Sqrt", [n_("Add", [var, init_("ln_eps", 1e-6)])])
+        nrm = n_("Div", [sub, den])
+        return n_("Add", [n_("Mul", [nrm, init_("ln_s", p["scale"])]),
+                          init_("ln_b", p["bias"])])
+
+    # patch linear as a stride-PATCH Conv: w[(py,px,c) flat, D] → OIHW
+    wp = np.asarray(params["patch"]["w"], np.float32)
+    wc = wp.reshape(PATCH, PATCH, 3, d).transpose(3, 2, 0, 1)
+    x = n_(
+        "Conv",
+        ["input", init_("patch_w", wc), init_("patch_b", params["patch"]["b"])],
+        strides=[PATCH, PATCH], pads=[0] * 4, kernel_shape=[PATCH, PATCH],
+    )  # (B, D, g, g)
+    x = n_("Reshape", [x, shape_init([0, d, t])])
+    x = n_("Transpose", [x], perm=[0, 2, 1])  # (B, T, D)
+    x = n_("Add", [x, init_("pos_embed", pos)])
+
+    inv_sqrt_dh = init_("inv_sqrt_dh", dh ** -0.5)
+    half, one = init_("half", 0.5), init_("one", 1.0)
+    sqrt2 = init_("sqrt2", float(np.sqrt(2.0)))
+    heads_shape = shape_init([0, t, heads, dh])
+    merge_shape = shape_init([0, t, d])
+
+    for blk in params["blocks"]:
+        h = layer_norm(x, blk["ln1"])
+        qkv = matmul_bias(h, blk["qkv"], "qkv")  # (B, T, 3D)
+        qn, kn, vn = e.name("q"), e.name("k"), e.name("v")
+        e.nodes.append(
+            W.node("Split", [qkv], [qn, kn, vn], axis=2, split=[d, d, d])
+        )
+
+        def to_heads(nm):
+            r = n_("Reshape", [nm, heads_shape])
+            return n_("Transpose", [r], perm=[0, 2, 1, 3])  # (B, H, T, dh)
+
+        qh, kh, vh = to_heads(qn), to_heads(kn), to_heads(vn)
+        scores = n_("Mul", [
+            n_("MatMul", [qh, n_("Transpose", [kh], perm=[0, 1, 3, 2])]),
+            inv_sqrt_dh,
+        ])
+        attn = n_("Softmax", [scores], axis=3)
+        o = n_("Transpose", [n_("MatMul", [attn, vh])], perm=[0, 2, 1, 3])
+        o = n_("Reshape", [o, merge_shape])
+        x = n_("Add", [x, matmul_bias(o, blk["proj"], "proj")])
+
+        h = layer_norm(x, blk["ln2"])
+        m = matmul_bias(h, blk["mlp1"], "mlp1")
+        # exact-erf GELU: 0.5 * m * (1 + erf(m / sqrt(2)))
+        gel = n_("Mul", [
+            n_("Mul", [m, n_("Add", [n_("Erf", [n_("Div", [m, sqrt2])]), one])]),
+            half,
+        ])
+        x = n_("Add", [x, matmul_bias(gel, blk["mlp2"], "mlp2")])
+
+    x = layer_norm(x, params["ln_f"])
+    x = n_("ReduceMean", [x], axes=[1], keepdims=0)  # (B, D)
+    wf = np.asarray(params["fc"]["w"], np.float32).T  # (out, D)
+    e.inits.append(W.tensor("fc_w", np.ascontiguousarray(wf)))
+    e.inits.append(W.tensor("fc_b", np.asarray(params["fc"]["b"], np.float32)))
+    gm = n_("Gemm", [x, "fc_w", "fc_b"], alpha=1.0, beta=1.0, transB=1)
+    feat = e.bn(gm, params["features_bn"])
+    g = W.graph(
+        e.nodes, e.inits,
+        [("input", [1, 3, input_size, input_size])],
+        [(feat, [1, wf.shape[0]])],
+    )
+    return W.model(g, opset_version=9)

@@ -286,6 +286,10 @@ class Executor:
     def op_exp(self, node, args):
         return jnp.exp(jnp.asarray(args[0]))
 
+    def op_erf(self, node, args):
+        # opset-9 Erf (exported ViT graphs' exact GELU, onnx_export/emit.py)
+        return jax.scipy.special.erf(jnp.asarray(args[0], jnp.float32))
+
     def op_neg(self, node, args):
         return -jnp.asarray(args[0])
 

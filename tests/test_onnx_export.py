@@ -122,3 +122,36 @@ def test_export_detector_rejects_folded():
     folded = scrfd.fold_inference_params(scrfd.init_params(jax.random.PRNGKey(6)))
     with pytest.raises(ValueError, match="UNFOLDED"):
         onnx_export.export_detector(folded)
+
+
+def test_export_vit_roundtrip_executor(tmp_path):
+    """ViT exports to a decomposed-LN opset-9 graph (Conv patchify,
+    Split heads, Erf GELU) that reproduces the native forward through
+    the generic graph executor."""
+    from facerecognizeonnx_tpu.models import vit
+    from facerecognizeonnx_tpu.onnx_import.importer import load_onnx_params
+
+    params = vit.init_params(jax.random.PRNGKey(11), arch="vit_t")
+    path = str(tmp_path / "w600k_vit_t.onnx")
+    onnx_export.export_recognizer(params, path)
+
+    runner = load_onnx_params(path)
+    assert runner.kind == "arcface" and runner.input_size == 112
+    x = _x(key=12)  # (B, 112, 112, 3) NHWC batch > 1
+    want = np.asarray(vit.apply(params, x))
+    got = np.asarray(runner.apply(x, jnp.float32))
+    assert got.shape == want.shape
+    cos = (want * got).sum(1) / (
+        np.linalg.norm(want, axis=1) * np.linalg.norm(got, axis=1)
+    )
+    assert cos.min() > 1.0 - 1e-5, cos
+
+
+def test_export_vit_rejects_folded():
+    from facerecognizeonnx_tpu.models import vit
+
+    folded = vit.fold_inference_params(
+        vit.init_params(jax.random.PRNGKey(13), arch="vit_t")
+    )
+    with pytest.raises(ValueError, match="UNFOLDED"):
+        onnx_export.export_recognizer(folded)
