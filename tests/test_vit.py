@@ -120,3 +120,31 @@ def test_bf16_close_to_f32(params, x):
         np.linalg.norm(f32, axis=-1) * np.linalg.norm(bf16, axis=-1)
     )
     assert (cos > 0.995).all(), cos
+
+
+def test_train_step_decreases_loss_on_mesh():
+    """ViT backbone through the partial-FC trainer on a dp x mp mesh —
+    the same harness test_train.py runs for IResNet."""
+    from facerecognizeonnx_tpu.parallel.mesh import make_mesh
+    from facerecognizeonnx_tpu.train.trainer import (
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = PipelineConfig(compute_dtype="float32", rec_input_size=32,
+                         rec_arch="vit_t")
+    mesh = make_mesh(("data", "model"), (2, 2), devices=jax.devices()[:4])
+    state = init_train_state(
+        jax.random.PRNGKey(0), num_classes=16, cfg=cfg, arch="vit_t",
+        mesh=mesh, lr=0.01,
+    )
+    step = make_train_step(mesh, cfg, lr=0.01)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 16, 8), np.int32)
+    with mesh:
+        losses = []
+        for _ in range(4):
+            state, loss = step(state, imgs, labels)
+            losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
