@@ -315,9 +315,14 @@ def map_recognizer(path: str, arch: str, input_size: int = 112) -> Optional[Dict
     first, then the other family (both self-verify, so a wrong guess
     can only cost one failed walk, never wrong weights)."""
     if arch.startswith("mbf"):
-        attempts = [(map_mobilefacenet, arch), (map_arcface, "iresnet50")]
+        attempts = [(map_mobilefacenet, arch), (map_arcface, "iresnet50"),
+                    (map_vit, "vit_t")]
+    elif arch.startswith("vit"):
+        attempts = [(map_vit, arch), (map_arcface, "iresnet50"),
+                    (map_mobilefacenet, "mbf")]
     else:
-        attempts = [(map_arcface, arch), (map_mobilefacenet, "mbf")]
+        attempts = [(map_arcface, arch), (map_mobilefacenet, "mbf"),
+                    (map_vit, "vit_t")]
     for fn, a in attempts:
         mapped = fn(path, arch=a, input_size=input_size)
         if mapped is not None:
@@ -327,3 +332,177 @@ def map_recognizer(path: str, arch: str, input_size: int = 112) -> Optional[Dict
 
 class _Mismatch(Exception):
     pass
+
+
+def map_vit(
+    path_or_graph,
+    arch: str = "vit_t",
+    input_size: int = 112,
+    verify: bool = True,
+) -> Optional[Dict]:
+    """Map a ViT recognizer .onnx (the decomposed-LN opset-9 shape
+    onnx_export/emit.emit_vit_onnx writes) onto native models/vit.py
+    params. `arch` is advisory — the width is inferred from the patch
+    Conv and must name a VIT_SPECS member. Same contract as the other
+    mappers: walks deterministic node order with shape checks,
+    self-verifies against the graph executor, returns None on any
+    mismatch (never wrong weights).
+
+    Weight identification is structural, not name-based: LayerNorm
+    scales are the Mul operands shaped (D,) (attention/GELU scalings
+    are 0-d), each LN bias is the Add consuming that Mul's output, and
+    each MatMul's bias is the Add consuming the MatMul's output.
+    """
+    from facerecognizeonnx_tpu.models import vit as vit_mod
+
+    graph = (
+        proto.load_model(path_or_graph)
+        if isinstance(path_or_graph, str)
+        else path_or_graph
+    )
+    init = graph.initializers
+    try:
+        convs = [n for n in graph.nodes if n.op_type == "Conv"]
+        gemms = [n for n in graph.nodes if n.op_type == "Gemm"]
+        bns = [n for n in graph.nodes if n.op_type == "BatchNormalization"]
+        if len(convs) != 1 or len(gemms) != 1 or len(bns) != 1:
+            return None
+        wc = init.get(convs[0].inputs[1])
+        if wc is None or wc.ndim != 4 or wc.shape[1] != 3:
+            return None
+        d = wc.shape[0]
+        patch = wc.shape[2]
+        if patch != vit_mod.PATCH or d not in vit_mod.VIT_SPECS_BY_DIM:
+            return None
+        _dim, depth, _heads = vit_mod.VIT_SPECS_BY_DIM[d]
+
+        # consumer map: tensor name → nodes reading it
+        consumers: Dict[str, List[proto.Node]] = {}
+        for n in graph.nodes:
+            for i in n.inputs:
+                consumers.setdefault(i, []).append(n)
+
+        def bias_of(node):
+            """The (single-init) Add consuming `node`'s output."""
+            for c in consumers.get(node.outputs[0], []):
+                if c.op_type == "Add":
+                    for i in c.inputs:
+                        if i in init:
+                            return np.asarray(init[i], np.float32)
+            return None
+
+        # patch conv: OIHW (D, 3, P, P) → (py*px*c flat, D)
+        pdim = patch * patch * 3
+        w_patch = np.transpose(np.asarray(wc, np.float32), (2, 3, 1, 0)
+                               ).reshape(pdim, d)
+        b_patch = (np.asarray(init[convs[0].inputs[2]], np.float32)
+                   if len(convs[0].inputs) > 2 else np.zeros(d, np.float32))
+
+        # pos embed: the Add with a rank-2 (T, D) initializer
+        pos = None
+        for n in graph.nodes:
+            if n.op_type != "Add":
+                continue
+            for i in n.inputs:
+                a = init.get(i)
+                if a is not None and a.ndim == 2 and a.shape[1] == d:
+                    pos = np.asarray(a, np.float32)
+        if pos is None:
+            return None
+
+        # MatMuls in forward order: depth x [qkv, proj, mlp1, mlp2]
+        mms = [n for n in graph.nodes if n.op_type == "MatMul"]
+        # attention MatMuls have NO initializer operand — drop them
+        mms = [n for n in mms if any(i in init for i in n.inputs)]
+        if len(mms) != 4 * depth:
+            return None
+
+        def mm_weights(node, din, dout):
+            w = next(np.asarray(init[i], np.float32)
+                     for i in node.inputs if i in init)
+            if w.shape != (din, dout):
+                raise _Mismatch(f"{w.shape} != {(din, dout)}")
+            b = bias_of(node)
+            if b is None or b.shape != (dout,):
+                raise _Mismatch("missing bias")
+            return {"w": w, "b": b}
+
+        # LayerNorm scales: Mul with a (D,) initializer operand, in
+        # order [block0 ln1, block0 ln2, ..., ln_f]
+        ln_muls = []
+        for n in graph.nodes:
+            if n.op_type != "Mul":
+                continue
+            for i in n.inputs:
+                a = init.get(i)
+                if a is not None and a.shape == (d,):
+                    ln_muls.append((n, np.asarray(a, np.float32)))
+        if len(ln_muls) != 2 * depth + 1:
+            return None
+
+        def ln_params(idx):
+            node, scale = ln_muls[idx]
+            bias = bias_of(node)
+            if bias is None or bias.shape != (d,):
+                raise _Mismatch("ln bias")
+            return {"scale": scale, "bias": bias}
+
+        blocks = []
+        for bi in range(depth):
+            blocks.append({
+                "ln1": ln_params(2 * bi),
+                "qkv": mm_weights(mms[4 * bi], d, 3 * d),
+                "proj": mm_weights(mms[4 * bi + 1], d, d),
+                "ln2": ln_params(2 * bi + 1),
+                "mlp1": mm_weights(mms[4 * bi + 2], d, 4 * d),
+                "mlp2": mm_weights(mms[4 * bi + 3], 4 * d, d),
+            })
+
+        # head: Gemm transB → (out, D); features BN
+        gw = np.asarray(init[gemms[0].inputs[1]], np.float32)
+        trans_b = bool(gemms[0].attrs.get("transB", 0))
+        gw = gw if not trans_b else gw.T  # → (D, out)
+        if gw.shape[0] != d:
+            return None
+        gb = np.asarray(init[gemms[0].inputs[2]], np.float32)
+        bn_node = bns[0]
+        fbn = {
+            "scale": np.asarray(init[bn_node.inputs[1]], np.float32),
+            "bias": np.asarray(init[bn_node.inputs[2]], np.float32),
+            "mean": np.asarray(init[bn_node.inputs[3]], np.float32),
+            "var": np.asarray(init[bn_node.inputs[4]], np.float32),
+        }
+        t = (input_size // patch) ** 2
+        if pos.shape != (t, d):
+            return None
+        params = {
+            "patch": {"w": w_patch, "b": b_patch},
+            "pos_embed": pos,
+            "blocks": blocks,
+            "ln_f": ln_params(2 * depth),
+            "fc": {"w": gw, "b": gb},
+            "features_bn": fbn,
+        }
+    except (_Mismatch, KeyError, StopIteration, IndexError):
+        return None
+
+    if verify:
+        try:
+            rng = np.random.default_rng(0)
+            x = rng.uniform(-1, 1, (1, input_size, input_size, 3)).astype(
+                np.float32
+            )
+            native = np.asarray(vit_mod.apply(params, x))
+            ex = Executor(graph)
+            ref = np.asarray(
+                ex.run({ex.input_names[0]: np.transpose(x, (0, 3, 1, 2))})[0]
+            ).reshape(1, -1)
+            cos = float(
+                (native * ref).sum()
+                / max(np.linalg.norm(native) * np.linalg.norm(ref), 1e-12)
+            )
+        except Exception:
+            return None
+        if not np.isfinite(cos) or cos < 1 - 1e-3:
+            return None
+    return params

@@ -115,3 +115,41 @@ def test_map_recognizer_routes_by_family(mbf_small, r18_small):
     # wrong-family hint still resolves via the fallback walk
     got = map_recognizer(graph_mbf, arch="iresnet18", input_size=64)
     assert got is not None and "body" in got
+
+
+def test_map_vit_roundtrip(tmp_path):
+    """Exported ViT .onnx maps back onto native models/vit.py params
+    (structural walk + numeric self-verify) — the fast TPU load path
+    for vit weight files."""
+    import jax
+    import numpy as np
+
+    from facerecognizeonnx_tpu import onnx_export
+    from facerecognizeonnx_tpu.models import vit
+    from facerecognizeonnx_tpu.onnx_import.native_map import (
+        map_recognizer,
+        map_vit,
+    )
+
+    params = vit.init_params(jax.random.PRNGKey(21), arch="vit_t")
+    path = str(tmp_path / "w600k_vit_t.onnx")
+    onnx_export.export_recognizer(params, path)
+
+    mapped = map_vit(path)
+    assert mapped is not None
+    x = np.random.default_rng(2).uniform(-1, 1, (2, 112, 112, 3)).astype(
+        np.float32
+    )
+    want = np.asarray(vit.apply(params, x))
+    got = np.asarray(vit.apply(mapped, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # arch-directed dispatch finds it too
+    assert map_recognizer(path, "vit_t") is not None
+    # and a conv graph is NOT claimed by the vit mapper
+    from facerecognizeonnx_tpu.models import mobilefacenet
+
+    mp = mobilefacenet.init_params(jax.random.PRNGKey(22), arch="mbf")
+    path2 = str(tmp_path / "w600k_mbf.onnx")
+    onnx_export.export_recognizer(mp, path2)
+    assert map_vit(path2) is None
