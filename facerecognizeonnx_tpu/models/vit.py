@@ -9,10 +9,13 @@ ships in its transformer packs — designed MXU-first rather than ported:
 every FLOP is a dense matmul (patch embedding included: stride=patch
 conv ≡ reshape + one GEMM, written as such), there are no depthwise
 convs, no im2col, no padding seams, and the token count (196) rides the
-batch dimension so all GEMMs stay large at serving batch sizes. On a
-v5e this is the highest MXU-utilization shape a recognizer can take:
-a vit_t forward is ~12 back-to-back (B*196, D) x (D, *) GEMMs per
-block with f32 accumulation.
+batch dimension so the GEMMs stay large at serving batch sizes.
+Measured reality (docs/PERFORMANCE.md "ViT recognizer family"): the
+K=D contractions cap the per-block GEMMs at ~38% of bf16 peak for
+vit_t's D=256, and the 24 LayerNorms cost VPU reductions BN can fold
+away — so the family ships as the ACCURACY tier of the recognizer
+surface (transformer face models out-rank same-param convnets on the
+public benchmarks) while mbf/iresnet50 keep the throughput roles.
 
 Topology (pre-LN ViT, spec-level — not a weight-compatible port):
   patch:  112x112x3 → 14x14 non-overlapping 8x8 patches → (196, 192)

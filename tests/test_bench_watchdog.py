@@ -63,5 +63,7 @@ def test_hbm_probe_returns_plausible_rate():
     gbps = bench._probe_hbm_gbps(lambda *_: None)
     assert gbps is not None
     # host DDR lands in the tens-to-hundreds of GB/s; an elided scan
-    # reports thousands
-    assert 1.0 < gbps < 3000.0, gbps
+    # reports thousands. The guard is the HIGH side (elision); the low
+    # bound only screens zeros/negatives — a loaded CI host can measure
+    # well under 1 GB/s (seen at full-suite + bench contention).
+    assert 0.01 < gbps < 3000.0, gbps
