@@ -24,8 +24,11 @@ Topology (pre-LN ViT, spec-level — not a weight-compatible port):
                    LN → MLP(D→4D→D, GELU) → +res]
   head:   LN → token mean-pool → FC(D→512) → BN1d
 
-Family members (dim, depth, heads): vit_t (256, 12, 4),
-vit_s (384, 12, 6), vit_b (512, 12, 8) — ~3.8 / 8.5 / 15 GFLOP/face.
+Family members (dim, depth, heads): vit_t (256, 12, 2),
+vit_s (384, 12, 3), vit_b (512, 12, 4) — ~3.8 / 8.5 / 15 GFLOP/face.
+Head count is HALVED vs InsightFace's published configs (4/6/8) because
+head width is pinned to dh = dim/heads = 128, the MXU tile width — see
+the VIT_SPECS comment below for the measured rationale.
 
 Output is NOT L2-normalized here; the embed pipeline normalizes,
 matching the reference's post-Run normalize (src/face_recognizer.cpp:297).

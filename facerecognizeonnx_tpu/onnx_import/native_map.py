@@ -312,8 +312,9 @@ def map_mobilefacenet(
 
 def map_recognizer(path: str, arch: str, input_size: int = 112) -> Optional[Dict]:
     """Arch-directed native mapping: try the mapper matching `arch`
-    first, then the other family (both self-verify, so a wrong guess
-    can only cost one failed walk, never wrong weights)."""
+    first, then the other two families (iresnet / mobilefacenet / vit —
+    all three self-verify against the graph executor, so a wrong guess
+    can only cost failed walks, never wrong weights)."""
     if arch.startswith("mbf"):
         attempts = [(map_mobilefacenet, arch), (map_arcface, "iresnet50"),
                     (map_vit, "vit_t")]

@@ -216,10 +216,13 @@ def _tp_block(p, x, stride, dtype, axis):
     return out + identity
 
 
-def _vit_tp_block(p, h, b, t, dtype, axis):
+def _vit_tp_block(p, h, b, t, dtype, axis, dh):
     """One pre-LN transformer block, Megatron-sharded: qkv column (heads
     shard with it), proj row + psum; mlp1 column, mlp2 row + psum —
-    TWO psums per block, the residual stream stays replicated."""
+    TWO psums per block, the residual stream stays replicated. `dh` is
+    the head width from the arch spec (threaded in by _tp_apply_vit so a
+    future non-128-wide spec computes correctly instead of silently
+    mis-slicing heads)."""
     from facerecognizeonnx_tpu.models.vit import _layer_norm
 
     xin = _layer_norm(p["ln1"], h)
@@ -231,7 +234,6 @@ def _vit_tp_block(p, h, b, t, dtype, axis):
     }
     qkv = L.linear(wqkv, xin, compute_dtype=dtype).astype(dtype)
     dloc = qkv.shape[-1] // 3
-    dh = 128  # head width is pinned in models/vit.py VIT_SPECS
     hl = dloc // dh  # local heads
     q = qkv[:, :dloc].reshape(b, t, hl, dh)
     k = qkv[:, dloc:2 * dloc].reshape(b, t, hl, dh)
@@ -258,9 +260,19 @@ def _vit_tp_block(p, h, b, t, dtype, axis):
 
 
 def _tp_apply_vit(params: Dict, x: jnp.ndarray, axis: str, compute_dtype):
-    from facerecognizeonnx_tpu.models.vit import _layer_norm, _patchify
+    from facerecognizeonnx_tpu.models.vit import (
+        VIT_SPECS_BY_DIM,
+        _layer_norm,
+        _patchify,
+    )
 
     dtype = compute_dtype
+    # head width from the arch spec (dim inferred from pos_embed, same
+    # trick as models/vit.apply) — NOT hardcoded to 128, so a future
+    # spec with a different head width fails loudly in the lookup or
+    # computes correctly, never mis-slices heads silently
+    dim, _depth, heads = VIT_SPECS_BY_DIM[params["pos_embed"].shape[1]]
+    dh = dim // heads
     tokens = _patchify(x.astype(dtype), x.shape[1])
     b, t, pdim = tokens.shape
     h = L.linear(
@@ -269,7 +281,7 @@ def _tp_apply_vit(params: Dict, x: jnp.ndarray, axis: str, compute_dtype):
     h = (h.reshape(b, t, -1) + params["pos_embed"].astype(dtype)
          ).reshape(b * t, -1)
     for blk in params["blocks"]:
-        h = _vit_tp_block(blk, h, b, t, dtype, axis)
+        h = _vit_tp_block(blk, h, b, t, dtype, axis, dh)
     h = _layer_norm(params["ln_f"], h).reshape(b, t, -1).mean(axis=1)
     out = L.linear(params["fc"], h, compute_dtype=dtype)  # local dout/P
     out = lax.all_gather(out, axis, axis=1, tiled=True)
