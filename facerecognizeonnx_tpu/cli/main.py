@@ -1039,6 +1039,38 @@ def mode_doctor(args):
     report["packs"] = packs
     report["model_dir"] = args.model_dir
     print("模型文件缺失时使用确定性初始化权重 (语义/性能路径不变)")
+    # auto-arming real-file parity (VERDICT r3 item 3): if the REAL
+    # buffalo_sc files are anywhere findable, prove load+detect+embed+
+    # compare parity on them right here; otherwise say so visibly
+    from facerecognizeonnx_tpu.utils.realmodels import (
+        find_real_models,
+        run_real_model_parity,
+    )
+
+    found = find_real_models(args.model_dir)
+    if found is None:
+        report["real_model_parity"] = {"status": "skipped",
+                                       "reason": "files absent"}
+        print(
+            "real-model parity: SKIPPED (files absent — set "
+            "FRT_REAL_MODELS_DIR or place det_500m.onnx + w600k_r50.onnx "
+            "in the model dir to arm the proof)"
+        )
+    else:
+        try:
+            parity = run_real_model_parity(found["det"], found["rec"],
+                                           cfg=_cfg(args))
+            report["real_model_parity"] = {"status": "ok", "dir": found["dir"],
+                                           **parity}
+            print(
+                f"real-model parity: OK ({found['dir']} — exec cosine "
+                f"{parity['recognizer']['exec_cosine']:.6f}, native-mapped="
+                f"{parity['recognizer']['mapped_native']})"
+            )
+        except Exception as e:
+            report["real_model_parity"] = {"status": "FAIL", "dir": found["dir"],
+                                           "error": str(e)}
+            print(f"real-model parity: FAIL — {e}")
     if os.path.exists(args.gallery):
         from facerecognizeonnx_tpu.match.gallery import GalleryBank
 

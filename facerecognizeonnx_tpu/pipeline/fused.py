@@ -30,12 +30,21 @@ def frames_to_features(
     cfg: PipelineConfig,
     max_faces_embed: int = 8,
     compute_dtype=None,
+    valid_cap: int = None,
 ) -> Tuple[Detections, jnp.ndarray]:
     """(B, S, S, 3) letterboxed BGR frames → (Detections, (B, K, 512)).
 
     K = max_faces_embed top-scoring faces per frame are aligned and
     embedded (invalid slots give zero features). Detections are in
     letterboxed-frame pixels.
+
+    valid_cap is a BENCHMARK control: when set, exactly the first
+    `valid_cap` of the K embed slots are treated as occupied, regardless
+    of what the detector found — synthetic bench frames produce
+    arbitrary detections, so this is the only way to measure the
+    production `skip_invalid_faces` path at a known per-frame occupancy
+    (e.g. 2/8). Returned Detections are unaffected; only the embed
+    slots' validity is forced. Leave None in production.
     """
     dtype = jnp.dtype(cfg.compute_dtype) if compute_dtype is None else compute_dtype
     x = normalize_to_rgb(frames_u8, cfg.pixel_mean, cfg.pixel_scale, dtype=dtype)
@@ -50,11 +59,16 @@ def frames_to_features(
     )
 
     k = max_faces_embed
+    valid_k = dets.valid[:, :k]
+    if valid_cap is not None:
+        valid_k = jnp.broadcast_to(
+            jnp.arange(k)[None, :] < valid_cap, valid_k.shape
+        )
     top = Detections(
         boxes=dets.boxes[:, :k],
         scores=dets.scores[:, :k],
         kps=dets.kps[:, :k],
-        valid=dets.valid[:, :k],
+        valid=valid_k,
     )
 
     # normalized=True fuses (px-mean)/scale + BGR→RGB + bf16 cast into

@@ -453,6 +453,41 @@ def test_doctor_mode(capsys):
         "buffalo_sc", "buffalo_s", "buffalo_m", "buffalo_l"
     }
     assert isinstance(doc["native_runtime"]["available"], bool)
+    # the auto-arming real-file parity gate reports its state either way
+    assert doc["real_model_parity"]["status"] in ("skipped", "ok")
+
+
+def test_doctor_runs_real_model_parity_when_armed(tmp_path, capsys,
+                                                  monkeypatch):
+    """Drop stand-in files under the real names and point the env var at
+    them: doctor must RUN the parity proof, not just check presence
+    (VERDICT r3 item 3 — kills the 'someone must remember' failure).
+    Stand-ins are full export-shaped graphs at the real 640/112 sizes so
+    the default-config parity path is exactly what a real file takes."""
+    import json
+
+    import jax
+
+    from facerecognizeonnx_tpu.models import arcface, scrfd
+    from facerecognizeonnx_tpu.onnx_export import (
+        export_detector,
+        export_recognizer,
+    )
+
+    det_p = scrfd.init_params(jax.random.PRNGKey(0))
+    export_detector(jax.device_get(det_p), str(tmp_path / "det_500m.onnx"))
+    rec_p = arcface.init_params(jax.random.PRNGKey(1), arch="iresnet18")
+    export_recognizer(jax.device_get(rec_p), str(tmp_path / "w600k_r50.onnx"))
+    monkeypatch.setenv("FRT_REAL_MODELS_DIR", str(tmp_path))
+
+    rc = main(["doctor", "--json", "--rec-arch", "iresnet18"])
+    doc = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    rmp = doc["real_model_parity"]
+    assert rmp["status"] == "ok", rmp
+    assert rmp["dir"] == str(tmp_path)
+    assert rmp["recognizer"]["exec_cosine"] > 1 - 1e-3
+    assert rmp["detector"]["input_size"] == 640
 
 
 def test_doctor_mode_human(capsys):

@@ -93,3 +93,30 @@ def test_bad_stage_axis_size_raises(params, frames):
         pipelined_frames_to_features(
             params[0], params[1], frames, CFG, mesh=mesh
         )
+
+
+def test_valid_cap_forces_occupancy(params, frames):
+    """frames_to_features(valid_cap=n) — the bench control for measuring
+    the production skip_invalid_faces path at known occupancy (VERDICT
+    r3 item 4) — must zero exactly the slots past n and leave the
+    returned Detections untouched."""
+    det, arc = params
+    ref_dets, ref_feats = _oracle(params, frames)
+    dets, feats = jax.jit(
+        lambda d, a, f: frames_to_features(
+            d, a, f, CFG, max_faces_embed=4, valid_cap=2
+        )
+    )(det, arc, frames)
+    dets, feats = jax.tree_util.tree_map(np.asarray, (dets, feats))
+    np.testing.assert_array_equal(dets.valid, ref_dets.valid)
+    np.testing.assert_array_equal(dets.boxes, ref_dets.boxes)
+    assert feats.shape == ref_feats.shape
+    # slots >= cap are zeroed; slots < cap are embedded (nonzero)
+    assert (feats[:, 2:] == 0).all()
+    assert (np.abs(feats[:, :2]).sum(axis=-1) > 0).all()
+    # capped slots that were ALSO valid in the reference carry the same
+    # features (forcing validity must not change the embed math)
+    both = np.asarray(ref_dets.valid)[:, :2].astype(bool)
+    np.testing.assert_allclose(
+        feats[:, :2][both], ref_feats[:, :2][both], rtol=1e-5, atol=1e-6
+    )
