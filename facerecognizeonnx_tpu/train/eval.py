@@ -85,11 +85,14 @@ def tar_at_far(
     neg = np.sort(sims[~same])
     pos = sims[same]
     assert neg.size > 0 and pos.size > 0, "need both genuine and impostor pairs"
-    # floor, not ceil: with m = far*n integer, ceil selected index n-m
-    # (e.g. the MAX impostor at far=1e-3, n=1000) so only m-1 impostors
-    # exceeded it — a stricter FAR than requested. floor((1-far)*n)
-    # leaves exactly floor(far*n) impostors strictly above the threshold.
-    k = min(neg.size - 1, int(np.floor((1.0 - far) * neg.size)))
+    # Exactly m = floor(far*n) impostors must sit STRICTLY above the
+    # threshold, so pick the (n-1-m)-th sorted impostor. The previous
+    # floor((1-far)*n) form was still off by one whenever far*n was an
+    # integer (it reduces to n - far*n, i.e. the MAX impostor at
+    # far=1e-3, n=1000 — admitting 0 instead of 1); indexing from m
+    # directly is correct for both the integer and fractional cases.
+    m = min(neg.size - 1, int(np.floor(far * neg.size)))
+    k = neg.size - 1 - m
     thr = float(neg[k])
     return {
         "tar": float((pos > thr).mean()),

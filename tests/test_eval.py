@@ -46,6 +46,25 @@ def test_separable_pairs_score_high(rng):
     assert t["tar"] > 0.9
 
 
+def test_tar_at_far_achieved_far_is_pinned(rng):
+    """The returned threshold must admit EXACTLY floor(far*n) impostors
+    strictly above it — the round-2 off-by-one (ceil selected the max
+    impostor at far=1e-3, n=1000, admitting m-1) regressed silently
+    because only `tar` was asserted. Pin the achieved FAR itself."""
+    for n, far in [(1000, 1e-3), (1000, 1e-2), (500, 4e-3), (250, 1e-2)]:
+        neg = rng.normal(size=n).astype(np.float32)
+        pos = neg.max() + 1.0 + rng.random(50).astype(np.float32)
+        sims = np.concatenate([pos, neg])
+        same = np.concatenate([np.ones(50, bool), np.zeros(n, bool)])
+        out = tar_at_far(sims, same, far=far)
+        admitted = int((neg > out["threshold"]).sum())
+        assert admitted == int(np.floor(far * n)), (
+            f"far={far} n={n}: {admitted} impostors above threshold, "
+            f"expected floor(far*n)={int(np.floor(far * n))}"
+        )
+        assert out["tar"] == 1.0  # all genuines sit above every impostor
+
+
 def test_random_pairs_score_chance(rng):
     n = 400
     f1 = rng.normal(size=(n, 64)).astype(np.float32)
