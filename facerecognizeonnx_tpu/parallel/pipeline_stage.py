@@ -92,6 +92,27 @@ def _embed_stage(arc_params, crops, valid, cfg: PipelineConfig):
     return feats.reshape(m, k, -1) * valid[..., None].astype(jnp.float32)
 
 
+def _tp_embed_stage(arc_params, crops, valid, cfg: PipelineConfig, axis: str):
+    """Stage 1, tensor-parallel: the recognizer channel-sharded over the
+    mesh `axis` (Megatron conv/qkv sharding, parallel/tensor_parallel.py).
+    `arc_params` leaves are the LOCAL shards; the crops arrive replicated
+    over `axis` (both model columns of stage 0 detect the same frames).
+    Same math as _embed_stage up to psum summation order."""
+    from facerecognizeonnx_tpu.models.layers import l2_normalize
+    from facerecognizeonnx_tpu.parallel.tensor_parallel import tp_apply
+
+    m, k = crops.shape[0], crops.shape[1]
+    dtype = jnp.dtype(cfg.compute_dtype)
+    feats = tp_apply(
+        arc_params,
+        crops.reshape((m * k,) + crops.shape[2:]).astype(dtype),
+        axis,
+        compute_dtype=dtype,
+    )
+    feats = l2_normalize(feats)
+    return feats.reshape(m, k, -1) * valid[..., None].astype(jnp.float32)
+
+
 def pipelined_frames_to_features(
     det_params,
     arc_params,
@@ -102,6 +123,7 @@ def pipelined_frames_to_features(
     n_micro: int = 2,
     data_axis: str = "data",
     stage_axis: str = "stage",
+    model_axis: str = "model",
 ) -> Tuple[Detections, jnp.ndarray]:
     """Stage-pipelined fused inference over `mesh[stage_axis]` (size 2).
 
@@ -113,6 +135,14 @@ def pipelined_frames_to_features(
     If `data_axis` is also in the mesh, frames additionally shard over
     it (dp × pp). B is padded up to n_data * n_micro; padding frames
     yield valid=False slots and are stripped before returning.
+
+    If `model_axis` is also in the mesh (size > 1), the embed stage runs
+    TENSOR-PARALLEL over it (Megatron channel sharding,
+    parallel/tensor_parallel.py) — the full dp × pp × tp composition on
+    one 3-axis mesh. Stage-0 (detect+align) work is replicated across
+    the model columns; each stage-1 chip keeps only its 1/P slice of the
+    recognizer weights and the per-block psums ride ICI within a stage.
+    Requires a plain native param pytree (IResNet/ViT) for `arc_params`.
     """
     if mesh is None:
         n = len(jax.devices())
@@ -126,6 +156,13 @@ def pipelined_frames_to_features(
         )
     n_data = mesh.shape.get(data_axis, 1)
     has_data = data_axis in mesh.axis_names and n_data > 1
+    n_model = mesh.shape.get(model_axis, 1)
+    has_model = model_axis in mesh.axis_names and n_model > 1
+    if has_model and (hasattr(arc_params, "qstate") or not isinstance(arc_params, dict)):
+        raise ValueError(
+            "tensor-parallel embed stage needs a plain native param "
+            f"pytree (IResNet/ViT); got {type(arc_params).__name__}"
+        )
 
     frames_host = np.asarray(frames_u8)
     b_real = frames_host.shape[0]
@@ -140,7 +177,18 @@ def pipelined_frames_to_features(
     micro = local_b // n_micro
     k = max_faces_embed
 
-    ap_tree, rebuild = pack_recognizer(arc_params)
+    if has_model:
+        from facerecognizeonnx_tpu.parallel.tensor_parallel import (
+            pack_tp_params,
+            recognizer_param_specs,
+        )
+
+        ap_tree = pack_tp_params(arc_params)
+        arc_specs = recognizer_param_specs(ap_tree, model_axis)
+        rebuild = lambda ap: ap  # leaves are local shards; used as-is
+    else:
+        ap_tree, rebuild = pack_recognizer(arc_params)
+        arc_specs = P()
 
     # Shape/dtype of the stage-0 outputs (the zero-filled pipeline carry
     # and the cond else-branches must match them exactly).
@@ -180,13 +228,26 @@ def pipelined_frames_to_features(
                 lambda: _detect_align_stage(dp, frames_mb, cfg, k),
                 lambda: (_zero_crops(), _zero_dets()),
             )
-            feats = lax.cond(
-                stage == N_STAGES - 1,
-                lambda: _embed_stage(
-                    arc, crops_in, dets_in.valid[:, :k], cfg
-                ),
-                lambda: jnp.zeros((micro, k, feat_dim), jnp.float32),
-            )
+            # the collective-free dp/pp path keeps embed under lax.cond
+            # (idle stages skip it); the tp path runs it UNCONDITIONALLY
+            # on every chip — its per-block psums over model_axis must be
+            # executed by all members of each model group, and stage-0
+            # chips hold zero crops so their result is masked to zeros by
+            # the stage gate below (wasted FLOPs on idle stages, but the
+            # schedule overlaps them with real stage-0 work)
+            if has_model:
+                feats = _tp_embed_stage(
+                    arc, crops_in, dets_in.valid[:, :k], cfg, model_axis
+                )
+                feats = feats * (stage == N_STAGES - 1).astype(jnp.float32)
+            else:
+                feats = lax.cond(
+                    stage == N_STAGES - 1,
+                    lambda: _embed_stage(
+                        arc, crops_in, dets_in.valid[:, :k], cfg
+                    ),
+                    lambda: jnp.zeros((micro, k, feat_dim), jnp.float32),
+                )
             # shift the inter-stage wire one stage to the right over ICI;
             # stage 0 receives nothing → ppermute fills its carry with
             # zeros, which is exactly the idle-stage state
@@ -231,7 +292,7 @@ def pipelined_frames_to_features(
         shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(), P(), dsh),
+            in_specs=(P(), arc_specs, dsh),
             out_specs=(
                 Detections(boxes=dsh, scores=dsh, kps=dsh, valid=dsh),
                 dsh,
@@ -239,6 +300,14 @@ def pipelined_frames_to_features(
             check_rep=False,
         )
     )
+    if has_model:
+        ap_tree = jax.device_put(
+            ap_tree,
+            jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), arc_specs,
+                is_leaf=lambda v: isinstance(v, P),
+            ),
+        )
     x = jax.device_put(frames_host, NamedSharding(mesh, dsh))
     dets, feats = fn(det_params, ap_tree, x)
     dets = Detections(

@@ -87,6 +87,37 @@ def test_more_microbatches_and_padding(params, frames):
     _check(params, frames, mesh, n_micro=4, b=3)
 
 
+def test_dp_x_pp_x_tp_mesh(params, frames):
+    """The full 3-axis composition on one 2x2x2 mesh: frames shard over
+    "data", each data replica runs the 2-stage pipeline over "stage",
+    and the embed stage is Megatron channel-sharded over "model" —
+    must still reproduce the fused single-program result exactly."""
+    mesh = make_mesh(
+        ("data", "stage", "model"), (2, 2, 2), devices=jax.devices()[:8]
+    )
+    _check(params, frames, mesh, n_micro=2)
+
+
+def test_tp_rejects_quantized_recognizer(params, frames):
+    from facerecognizeonnx_tpu.models import quant
+
+    det, arc = params
+    calib = np.random.default_rng(0).uniform(
+        -1, 1, (2, 112, 112, 3)
+    ).astype(np.float32)
+    qstate = jax.jit(
+        lambda p, c: quant.quantize_recognizer(
+            arcface.apply, p, c, min_channels=128
+        )
+    )(arc, calib)
+    qrec = quant.QuantizedRecognizer(arcface.apply, arc, qstate)
+    mesh = make_mesh(
+        ("stage", "model"), (2, 2), devices=jax.devices()[:4]
+    )
+    with pytest.raises(ValueError, match="plain native param"):
+        pipelined_frames_to_features(det, qrec, frames, CFG, mesh=mesh)
+
+
 def test_bad_stage_axis_size_raises(params, frames):
     mesh = make_mesh(("stage",), (4,), devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="stage"):
