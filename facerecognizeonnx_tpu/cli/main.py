@@ -604,7 +604,9 @@ def mode_train(args):
     ckpt = args.train_ckpt or args.out + ".ckpt"
     with mesh:
         state, _ = fit(
-            state, step_fn, ds.batches(batch, seed=cfg.seed), args.steps,
+            state, step_fn,
+            ds.batches(batch, seed=cfg.seed, augment=not args.no_augment),
+            args.steps,
             ckpt_path=ckpt, ckpt_every=args.ckpt_every, log_every=10,
         )
     save_params(args.out, jax.device_get(state.params))
@@ -1228,6 +1230,12 @@ def main(argv=None):
     )
     parser.add_argument("--margin", type=float, default=0.5,
                         help="train: ArcFace additive angular margin")
+    parser.add_argument(
+        "--no-augment", action="store_true",
+        help="train: disable the default train-time augmentation "
+        "(random horizontal flip + crop jitter); eval is always "
+        "augmentation-free",
+    )
     parser.add_argument("--out", default="trained_rec.npz",
                         help="train: output .npz weights (--rec-model loadable)")
     parser.add_argument("--train-ckpt", default=None,

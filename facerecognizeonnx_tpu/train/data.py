@@ -103,10 +103,42 @@ class IdentityFolderDataset:
         for evaluation protocols that pair crops across identities."""
         return self._load_crop(path)
 
+    @staticmethod
+    def _augment(x_u8: np.ndarray, rng: np.random.Generator, jitter: int) -> np.ndarray:
+        """ArcFace-standard train-time augmentation on a (B, S, S, 3)
+        uint8 batch: per-sample random horizontal flip (p=0.5, THE one
+        augmentation every ArcFace recipe uses) plus optional ±jitter px
+        edge-padded translation. Host-side numpy — runs on crops already
+        cached, so it never touches the detect/align path."""
+        b, s = x_u8.shape[0], x_u8.shape[1]
+        out = x_u8.copy()
+        flip = rng.random(b) < 0.5
+        out[flip] = out[flip, :, ::-1]
+        if jitter > 0:
+            pad = np.pad(
+                out, ((0, 0), (jitter, jitter), (jitter, jitter), (0, 0)),
+                mode="edge",
+            )
+            shifts = rng.integers(0, 2 * jitter + 1, size=(b, 2))
+            out = np.stack(
+                [pad[i, dy : dy + s, dx : dx + s] for i, (dy, dx) in enumerate(shifts)]
+            )
+        return out
+
     def batches(
-        self, batch_size: int, seed: int = 0, epochs: Optional[int] = None
+        self,
+        batch_size: int,
+        seed: int = 0,
+        epochs: Optional[int] = None,
+        augment: bool = False,
+        jitter: int = 4,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yields (images (B, S, S, 3) float32 in [-1, 1] RGB, labels (B,))."""
+        """Yields (images (B, S, S, 3) float32 in [-1, 1] RGB, labels (B,)).
+
+        augment=True applies train-time augmentation (random horizontal
+        flip + ±jitter px translation) AFTER the crop cache — the
+        default for `cli train`; evaluation paths leave it off so eval
+        batches stay deterministic."""
         rng = np.random.default_rng(seed)
         epoch = 0
         while epochs is None or epoch < epochs:
@@ -123,7 +155,10 @@ class IdentityFolderDataset:
                     labels.append(label)
                 if not crops:
                     continue
-                x = np.stack(crops).astype(np.float32)
+                x = np.stack(crops)
+                if augment:
+                    x = self._augment(x, rng, jitter)
+                x = x.astype(np.float32)
                 x = (x[..., ::-1] - 127.5) / 128.0  # BGR→RGB, [-1, 1]
                 yield x, np.asarray(labels, np.int32)
             epoch += 1

@@ -44,6 +44,38 @@ def test_epoch_bounded(dataset_dir):
     assert len(batches) == 4  # floor(9/4)=2 per epoch × 2
 
 
+def test_augmented_batches_differ_eval_deterministic(dataset_dir):
+    """augment=True (the cli train default) must actually perturb the
+    batch; augment=False (every eval path) must stay bit-deterministic
+    across iterators."""
+    ds = IdentityFolderDataset(dataset_dir)
+    x_plain, y_plain = next(ds.batches(batch_size=8, seed=3))
+    x_plain2, y_plain2 = next(ds.batches(batch_size=8, seed=3))
+    np.testing.assert_array_equal(x_plain, x_plain2)
+    np.testing.assert_array_equal(y_plain, y_plain2)
+
+    x_aug, y_aug = next(ds.batches(batch_size=8, seed=3, augment=True))
+    np.testing.assert_array_equal(y_aug, y_plain)  # labels untouched
+    assert x_aug.shape == x_plain.shape
+    assert x_aug.min() >= -1.0 and x_aug.max() <= 1.0
+    assert not np.array_equal(x_aug, x_plain)
+
+
+def test_augment_flip_only_is_involution(dataset_dir):
+    """With jitter=0 every augmented sample is either the original or
+    its exact horizontal mirror — nothing else changes."""
+    ds = IdentityFolderDataset(dataset_dir)
+    x_plain, _ = next(ds.batches(batch_size=8, seed=5))
+    x_aug, _ = next(ds.batches(batch_size=8, seed=5, augment=True, jitter=0))
+    flipped = 0
+    for a, p in zip(x_aug, x_plain):
+        if np.array_equal(a, p):
+            continue
+        np.testing.assert_array_equal(a, p[:, ::-1])
+        flipped += 1
+    assert flipped > 0  # p=0.5 over 8 samples: all-unflipped would be 1/256
+
+
 def test_min_images_filter(dataset_dir, rng):
     import cv2
 
