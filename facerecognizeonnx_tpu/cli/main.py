@@ -674,7 +674,7 @@ def _train_detector(args):
     params, losses = train_detector(
         images, boxes, cfg=cfg, steps=args.steps,
         batch=min(batch, len(images)), lr=lr, seed=cfg.seed,
-        init_params=init,
+        init_params=init, augment=not args.no_augment,
     )
     save_params(args.out, jax.device_get(params))
     print(

@@ -126,6 +126,24 @@ def make_targets(
     return out
 
 
+def mirror_detection_data(
+    images: np.ndarray, boxes: List[np.ndarray]
+) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Horizontal-flip copies of (letterboxed images, boxes): the whole
+    canvas flips and box x-coords mirror across the canvas width
+    (x1' = S - x2, x2' = S - x1). Convs are translation-equivariant, so
+    training on right-anchored flipped content is valid even though
+    serving letterboxes anchor top-left."""
+    s = images.shape[2]
+    img_f = images[:, :, ::-1].copy()
+    boxes_f = [
+        np.stack([s - b[:, 2], b[:, 1], s - b[:, 0], b[:, 3]], axis=-1)
+        if len(b) else b
+        for b in boxes
+    ]
+    return img_f, boxes_f
+
+
 def train_detector(
     images: np.ndarray,
     boxes: List[np.ndarray],
@@ -138,18 +156,28 @@ def train_detector(
     init_params=None,
     log: Callable[[str], None] = print,
     log_every: int = 20,
+    augment: bool = False,
 ):
     """Fine-tune (or train from scratch when init_params is None) the
     `cfg.scrfd_variant` SCRFD on (N, S, S, 3) uint8 letterboxed images.
 
     Returns (train-form params, losses list). Device-side: one jitted
-    train step; batches are sampled with replacement per step."""
+    train step; batches are sampled with replacement per step.
+    augment=True doubles the dataset with horizontal-flip mirrors
+    (mirror_detection_data) before target assignment — the flip
+    augmentation every detection recipe uses, done as dataset doubling
+    because targets are precomputed per image."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from facerecognizeonnx_tpu.models import scrfd
     from facerecognizeonnx_tpu.models.layers import update_bn_stats
+
+    if augment:
+        img_f, boxes_f = mirror_detection_data(images, boxes)
+        images = np.concatenate([images, img_f])
+        boxes = list(boxes) + boxes_f
 
     det_size = images.shape[1]
     strides = tuple(cfg.strides)

@@ -202,3 +202,51 @@ def test_load_detection_dataset_letterbox_scale(tmp_path):
     # top-left anchored pad: bottom band is zeros (int(100*0.64)=64 rows)
     assert (images[0][64:] == 0).all()
     assert (images[0][:64, :128] == 60).all()
+
+
+def test_mirror_detection_data_exact():
+    """Flip copies: image columns reversed, boxes x-mirrored across the
+    canvas width with y untouched — and targets computed on the mirror
+    equal the x-mirrored assignment of the original."""
+    from facerecognizeonnx_tpu.train.detector import (
+        make_targets,
+        mirror_detection_data,
+    )
+
+    rng = np.random.default_rng(11)
+    images = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    boxes = [
+        np.array([[8.0, 16.0, 24.0, 40.0]], np.float32),
+        np.zeros((0, 4), np.float32),
+    ]
+    img_f, boxes_f = mirror_detection_data(images, boxes)
+    np.testing.assert_array_equal(img_f, images[:, :, ::-1])
+    np.testing.assert_allclose(
+        boxes_f[0], np.array([[64 - 24, 16.0, 64 - 8, 40.0]]), rtol=0
+    )
+    assert len(boxes_f[1]) == 0
+    # anchor grids are x-symmetric per row, so the positive-anchor count
+    # is preserved and the flipped targets are the row-reversed originals
+    t0 = make_targets(boxes[0], det_size=64)
+    tf = make_targets(boxes_f[0], det_size=64)
+    for stride in (8, 16, 32):
+        assert t0[stride][2].sum() == tf[stride][2].sum()
+
+
+def test_train_detector_augment_runs(rng):
+    """augment=True doubles the sampled pool with mirrored copies and
+    the jitted step still trains (finite decreasing loss)."""
+    from facerecognizeonnx_tpu.train.detector import train_detector
+
+    images = np.stack([_blob_image(rng, 40, 64), _blob_image(rng, 90, 30)])
+    boxes = [
+        np.array([[40 - BLOB_R, 64 - BLOB_R, 40 + BLOB_R, 64 + BLOB_R]], np.float32),
+        np.array([[90 - BLOB_R, 30 - BLOB_R, 90 + BLOB_R, 30 + BLOB_R]], np.float32),
+    ]
+    cfg = PipelineConfig(det_input_size=SIZE, compute_dtype="float32")
+    params, losses = train_detector(
+        images, boxes, cfg=cfg, steps=12, batch=4, lr=2e-3, seed=0,
+        log=lambda *_: None, augment=True,
+    )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
