@@ -508,12 +508,20 @@ def mode_serve(args):
         if os.path.exists(args.gallery)
         else GalleryBank()
     )
+    dp = getattr(args, "dp", 0) or 0
+    if dp == -1:
+        import jax
+
+        dp = len(jax.devices())
     server = make_server(
         detector, recognizer, bank, host=args.host, port=args.port,
         auth_token=args.auth_token, sharded=args.sharded, aot=args.aot,
+        mesh=dp if dp > 1 else None,
     )
     if args.aot:
         print(f"identify 热路径使用 AOT 程序包: {args.aot}")
+    if dp > 1:
+        print(f"identify 数据并行: {dp} 设备")
     host, port = server.server_address[:2]
     print(f"服务已启动: http://{host}:{port}  (gallery: {len(bank)} 条)")
 
@@ -1165,6 +1173,15 @@ def main(argv=None):
         default=None,
         help="serve: .frtz AOT bundle (from `export out.frtz`) to run "
         "the identify hot path from the pinned exported program",
+    )
+    parser.add_argument(
+        "--dp",
+        type=int,
+        default=0,
+        help="serve: data-parallel device count — each micro-batch is "
+        "sharded over this many chips (0 = single device; -1 = all "
+        "local devices); composes with --sharded, which spreads the "
+        "gallery rows instead",
     )
     parser.add_argument(
         "--quant",

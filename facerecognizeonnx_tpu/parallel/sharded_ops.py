@@ -159,42 +159,40 @@ def pack_recognizer(arc_params):
     return arc_params, lambda ap: ap
 
 
-def sharded_frames_to_features(
+def make_dp_program(
     det_params,
     arc_params,
-    frames_u8,
     cfg,
     mesh: Optional[Mesh] = None,
     axis: str = "data",
     max_faces_embed: int = 8,
 ):
-    """Data-parallel FUSED pipeline over the mesh: a batch of letterboxed
-    frames sharded on `axis` runs the whole detect→align→embed program
-    (pipeline/fused.frames_to_features) locally per chip — params
-    replicated, zero collectives on the forward path, so throughput
-    scales linearly over ICI-connected chips. This is the multi-chip
-    form of the reference's webcam/compare inner loop
-    (src/main.cpp:214-257 — one frame, one face, one CPU there).
+    """Build the data-parallel fused identify program ONCE; returns
+    (program, mesh).
 
-    frames_u8: (B, S, S, 3) uint8; B is padded to a multiple of the
-    data-axis size (padding frames produce valid=False slots).
-    Returns (Detections, (B, K, 512) features) for the REAL B rows.
+    `program(frames_u8)` takes (B, S, S, 3) uint8 with B a multiple of
+    the mesh's `axis` size and returns (Detections, (B, K, 512)
+    features), batch sharded over `axis`. Params are device_put
+    replicated up front so a long-lived caller (the serving hot path,
+    pipeline/service.IdentifyService(mesh=...)) pays the host→device
+    weight transfer once, not per batch.
 
     shard_map (not jit+out_shardings) so EVERY op — including the Pallas
     warp kernel, which GSPMD cannot auto-partition — runs on local
-    per-chip shards.
+    per-chip shards; params replicated, zero collectives on the forward
+    path, so throughput scales linearly over ICI-connected chips. This
+    is the multi-chip form of the reference's webcam/compare inner loop
+    (src/main.cpp:214-257 — one frame, one face, one CPU there).
     """
     from facerecognizeonnx_tpu.pipeline.fused import frames_to_features
     from facerecognizeonnx_tpu.types import Detections
 
     if mesh is None:
         mesh = make_mesh((axis,))
-    n = mesh.shape[axis]
-    frames_host = _pad_rows(np.asarray(frames_u8), n)
-    b_real = np.asarray(frames_u8).shape[0]
-    x = jax.device_put(frames_host, NamedSharding(mesh, P(axis)))
-
     ap_tree, _rebuild = pack_recognizer(arc_params)
+    repl = NamedSharding(mesh, P())
+    det_params = jax.device_put(det_params, repl)
+    ap_tree = jax.device_put(ap_tree, repl)
 
     sh = P(axis)
     fn = jax.jit(
@@ -210,7 +208,38 @@ def sharded_frames_to_features(
             ),
         )
     )
-    dets, feats = fn(det_params, ap_tree, x)
+    in_sharding = NamedSharding(mesh, sh)
+
+    def program(frames_u8):
+        x = jax.device_put(np.asarray(frames_u8), in_sharding)
+        return fn(det_params, ap_tree, x)
+
+    return program, mesh
+
+
+def sharded_frames_to_features(
+    det_params,
+    arc_params,
+    frames_u8,
+    cfg,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+    max_faces_embed: int = 8,
+):
+    """One-shot convenience over make_dp_program: pad the batch to the
+    data-axis size, run, return (Detections, (B, K, 512) features) for
+    the REAL B rows (padding frames produce valid=False slots and are
+    dropped)."""
+    from facerecognizeonnx_tpu.types import Detections
+
+    program, mesh = make_dp_program(
+        det_params, arc_params, cfg, mesh=mesh, axis=axis,
+        max_faces_embed=max_faces_embed,
+    )
+    n = mesh.shape[axis]
+    frames_host = _pad_rows(np.asarray(frames_u8), n)
+    b_real = np.asarray(frames_u8).shape[0]
+    dets, feats = program(frames_host)
     dets = Detections(
         boxes=dets.boxes[:b_real],
         scores=dets.scores[:b_real],

@@ -151,11 +151,17 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, self.service.stats())
         elif path == "/metrics":
             stats = self.service.stats()
+            lat = stats.pop("latency_ms", None)
             body = "".join(
                 f"# TYPE frt_{k} {'gauge' if k == 'avg_batch' else 'counter'}\n"
                 f"frt_{k} {v}\n"
                 for k, v in stats.items()
             )
+            if lat:
+                body += "# TYPE frt_latency_ms summary\n" + "".join(
+                    f'frt_latency_ms{{quantile="{q}"}} {lat[p]}\n'
+                    for q, p in (("0.5", "p50"), ("0.9", "p90"), ("0.99", "p99"))
+                ) + f"frt_latency_ms_count {lat['window']}\n"
             body += (
                 "# TYPE frt_gallery_size gauge\n"
                 f"frt_gallery_size {len(self.bank)}\n"
@@ -313,6 +319,7 @@ def make_server(
     warmup: bool = True,
     sharded: bool = False,
     aot=None,
+    mesh=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -328,11 +335,13 @@ def make_server(
     client request (a tunneled-TPU first compile takes minutes;
     request_timeout covers anything that still compiles lazily, e.g.
     the gallery-search program on the first non-empty identify).
+    mesh: a jax.sharding.Mesh or device count for data-parallel serving
+    (see IdentifyService).
     """
     service = IdentifyService(
         detector.params, recognizer.params, bank, cfg=detector.cfg,
         max_batch=max_batch, batch_window_ms=batch_window_ms,
-        sharded=sharded, aot=aot,
+        sharded=sharded, aot=aot, mesh=mesh,
     )
     if warmup:
         service.identify(

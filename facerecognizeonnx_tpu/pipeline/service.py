@@ -16,6 +16,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -43,6 +44,7 @@ class _Request:
     image: np.ndarray
     top_k: int
     future: Future = field(default_factory=Future)
+    t_enqueue: float = 0.0
 
 
 class IdentifyService:
@@ -57,12 +59,31 @@ class IdentifyService:
         max_faces: int = 8,
         sharded: bool = False,
         aot=None,
+        mesh=None,
+        mesh_axis: str = "data",
     ):
         """aot: a pipeline.aot.AotPipeline (or .frtz path) to use as the
         fused program instead of tracing det_params/arc_params — the
         deployed artifact is then version-pinned and identical across
         serving processes. Its baked batch/config override max_batch,
-        max_faces, and cfg (they must be consistent by construction)."""
+        max_faces, and cfg (they must be consistent by construction).
+
+        mesh: a jax.sharding.Mesh (or device count) for DATA-PARALLEL
+        serving — each micro-batch is sharded over the mesh's
+        `mesh_axis` and every chip runs the fused program on its shard
+        (parallel/sharded_ops.make_dp_program; params replicated once at
+        construction). max_batch is rounded up to a multiple of the axis
+        size so every dispatch shards evenly. Composes with
+        sharded=True, which spreads the GALLERY rows over the same
+        devices — batch axis and gallery axis scale independently.
+        Mutually exclusive with aot (bundles are single-device
+        programs)."""
+        if aot is not None and mesh is not None:
+            raise ValueError(
+                "aot and mesh are mutually exclusive: .frtz bundles are "
+                "single-device programs (export per-chip and load-balance "
+                "above the service instead)"
+            )
         if isinstance(aot, str):
             from facerecognizeonnx_tpu.pipeline.aot import load_bundle
 
@@ -71,13 +92,32 @@ class IdentifyService:
             cfg = aot.config
             max_batch = aot.batch
             max_faces = aot.max_faces_embed
+        if mesh is not None and not hasattr(mesh, "shape"):
+            from facerecognizeonnx_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(
+                (mesh_axis,), devices=jax.devices()[: int(mesh)]
+            )
+        if mesh is not None:
+            n = mesh.shape[mesh_axis]
+            max_batch = -(-max_batch // n) * n
         self.cfg = cfg
         self.bank = bank
         self.sharded = sharded  # shard gallery rows over the device mesh
         self.max_batch = max_batch
         self.window_s = batch_window_ms / 1e3
         self.max_faces = max_faces
-        if aot is not None:
+        self.mesh = mesh
+        if mesh is not None:
+            from facerecognizeonnx_tpu.parallel.sharded_ops import (
+                make_dp_program,
+            )
+
+            self._program, _ = make_dp_program(
+                det_params, arc_params, cfg, mesh=mesh, axis=mesh_axis,
+                max_faces_embed=max_faces,
+            )
+        elif aot is not None:
             from facerecognizeonnx_tpu.types import Detections
 
             def _aot_program(frames):
@@ -97,13 +137,18 @@ class IdentifyService:
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._batches_run = 0
         self._requests_served = 0
+        # rolling enqueue→result wall latency window (ms), serving SLO
+        # visibility via stats()/GET /metrics
+        self._lat: "deque[float]" = deque(maxlen=1024)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     # ------------------------------------------------------------- client
 
     def identify_async(self, image_bgr: np.ndarray, top_k: int = 1) -> Future:
-        req = _Request(image=image_bgr, top_k=top_k)
+        req = _Request(
+            image=image_bgr, top_k=top_k, t_enqueue=time.perf_counter()
+        )
         self._q.put(req)
         return req.future
 
@@ -113,11 +158,21 @@ class IdentifyService:
         return self.identify_async(image_bgr, top_k).result(timeout)
 
     def stats(self):
-        return {
+        out = {
             "batches": self._batches_run,
             "requests": self._requests_served,
             "avg_batch": self._requests_served / max(1, self._batches_run),
         }
+        if self._lat:
+            # snapshot: the worker thread appends concurrently
+            lat = np.fromiter(list(self._lat), np.float64)
+            out["latency_ms"] = {
+                "p50": round(float(np.percentile(lat, 50)), 3),
+                "p90": round(float(np.percentile(lat, 90)), 3),
+                "p99": round(float(np.percentile(lat, 99)), 3),
+                "window": int(lat.size),
+            }
+        return out
 
     def close(self):
         self._q.put(None)
@@ -207,3 +262,4 @@ class IdentifyService:
                 )
             )
             self._requests_served += 1
+            self._lat.append((time.perf_counter() - req.t_enqueue) * 1e3)

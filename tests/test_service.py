@@ -130,6 +130,10 @@ def test_http_server_roundtrip(rng):
 
         status, stats = get("/stats")
         assert status == 200 and stats["requests"] >= 1
+        # rolling enqueue→result latency summary (serving SLO surface)
+        lat = stats["latency_ms"]
+        assert lat["window"] >= 1
+        assert 0 < lat["p50"] <= lat["p90"] <= lat["p99"]
 
         # Prometheus exposition of the same counters
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
@@ -140,6 +144,9 @@ def test_http_server_roundtrip(rng):
         assert r.getheader("Content-Type").startswith("text/plain")
         assert "# TYPE frt_requests counter" in text
         assert "frt_gallery_size 1" in text
+        assert "# TYPE frt_latency_ms summary" in text
+        assert 'frt_latency_ms{quantile="0.99"}' in text
+        assert "frt_latency_ms_count" in text
 
         def delete(path):
             conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
@@ -378,3 +385,50 @@ def test_aot_service_matches_traced(rng, tmp_path):
     assert traced.names == aot.names
     np.testing.assert_allclose(traced.sims, aot.sims, atol=1e-4)
     np.testing.assert_allclose(traced.boxes, aot.boxes, atol=1e-2)
+
+
+def test_dp_service_matches_local(rng):
+    """IdentifyService(mesh=4): micro-batches shard over a 4-device data
+    axis (serve --dp 4) and serve results identical to the single-device
+    program — including when concurrent callers coalesce into one
+    sharded dispatch. Also pins the max_batch round-up and the aot+mesh
+    exclusivity contract."""
+    cfg = PipelineConfig(
+        det_input_size=128, compute_dtype="float32", pre_nms_topk=64,
+        max_faces=16,
+    )
+    det = init_on_host(lambda: scrfd.init_params(jax.random.PRNGKey(0)))
+    arc = init_on_host(
+        lambda: arcface.init_params(jax.random.PRNGKey(1), arch="iresnet18")
+    )
+    bank = GalleryBank()
+    feats = np.random.default_rng(1).normal(size=(12, 512)).astype(np.float32)
+    bank.add_batch([f"person{i}" for i in range(12)], feats)
+    imgs = [
+        rng.integers(0, 256, (96, 120, 3), dtype=np.uint8) for _ in range(5)
+    ]
+
+    svc_dp = IdentifyService(
+        det, arc, bank, cfg, max_batch=3, batch_window_ms=200, mesh=4
+    )
+    svc_local = IdentifyService(
+        det, arc, bank, cfg, max_batch=4, batch_window_ms=5
+    )
+    try:
+        assert svc_dp.max_batch == 4  # rounded up to the data-axis size
+        # concurrent submission so requests coalesce into sharded batches
+        futures = [svc_dp.identify_async(im, top_k=2) for im in imgs]
+        dp_results = [f.result(timeout=600.0) for f in futures]
+        assert svc_dp.stats()["batches"] < len(imgs)  # proves coalescing
+        for im, got in zip(imgs, dp_results):
+            want = svc_local.identify(im, top_k=2, timeout=600.0)
+            np.testing.assert_array_equal(want.valid, got.valid)
+            assert want.names == got.names
+            np.testing.assert_allclose(want.sims, got.sims, atol=1e-4)
+            np.testing.assert_allclose(want.boxes, got.boxes, atol=1e-2)
+    finally:
+        svc_dp.close()
+        svc_local.close()
+
+    with pytest.raises(ValueError):
+        IdentifyService(det, arc, bank, cfg, aot="x.frtz", mesh=4)
