@@ -700,6 +700,66 @@ def bench_latency(args, cfg, det_params, arc_params, log):
         float(s)
         samples.append(time.time() - t1)
 
+    # serving identify A/B: TWO dispatches (feature program, host sync of
+    # feats, gallery-search program) vs ONE fused dispatch
+    # (pipeline/fused.frames_to_matches, `serve --fuse-search`). The win
+    # is the host round trip itself — each input chains on the previous
+    # output so no call can be elided. Bank passed as an ARGUMENT (a
+    # closed-over bank lowers as a module constant — round-3 probe bug).
+    from facerecognizeonnx_tpu.match.similarity import similarity_matrix
+    from facerecognizeonnx_tpu.pipeline.fused import frames_to_matches
+
+    G = 10240
+    bank = rng.normal(size=(G, 512)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    bank_dev = jnp.asarray(bank)
+
+    def _bump(frames, v):
+        return frames + (jnp.abs(jnp.sum(v)) * 0.0 + 1.0).astype(jnp.uint8)
+
+    @jax.jit
+    def feats_step(frames):
+        _d, feats = frames_to_features(
+            det_params, arc_params, frames, cfg,
+            max_faces_embed=FACES_PER_FRAME,
+        )
+        return _bump(frames, feats), feats
+
+    @jax.jit
+    def search_step(q, bank):
+        return jax.lax.top_k(similarity_matrix(q, bank), 5)
+
+    @jax.jit
+    def fused_step(frames, bank, n):
+        _d, _f, v, i = frames_to_matches(
+            det_params, arc_params, frames, bank, n, cfg,
+            max_faces_embed=FACES_PER_FRAME, top_k=5,
+        )
+        return _bump(frames, v), v, i
+
+    t0 = time.time()
+    f2, feats = feats_step(f1)
+    q = np.asarray(feats).reshape(-1, 512)
+    v, _ = search_step(jnp.asarray(q), bank_dev)
+    np.asarray(v)
+    f3, v, _ = fused_step(f1, bank_dev, jnp.int32(G))
+    np.asarray(v)
+    log(f"identify A/B compile+first {time.time() - t0:.1f}s")
+
+    two_disp, one_disp = [], []
+    for _ in range(20):
+        t1 = time.time()
+        f2, feats = feats_step(f2)
+        q = np.asarray(feats).reshape(-1, 512)  # host sync between stages
+        v, _ = search_step(jnp.asarray(q), bank_dev)
+        np.asarray(v)
+        two_disp.append(time.time() - t1)
+    for _ in range(20):
+        t1 = time.time()
+        f3, v, _ = fused_step(f3, bank_dev, jnp.int32(G))
+        np.asarray(v)
+        one_disp.append(time.time() - t1)
+
     return {
         "metric": "single-frame e2e latency, detect+align+embed K=8 (device)",
         "value": round(device_ms, 2),
@@ -716,6 +776,13 @@ def bench_latency(args, cfg, det_params, arc_params, log):
             "note": "wall_per_call includes the host->device dispatch "
             "round trip (tunnel RTT on this host); the device number is "
             "the framework's",
+            "serving_identify": {
+                "gallery_rows": G,
+                "two_dispatch_wall": _percentiles(two_disp),
+                "fused_one_dispatch_wall": _percentiles(one_disp),
+                "note": "identify = frame->features->gallery top-5; "
+                "fused (serve --fuse-search) pays ONE host round trip",
+            },
         },
     }
 

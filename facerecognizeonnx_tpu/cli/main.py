@@ -517,11 +517,14 @@ def mode_serve(args):
         detector, recognizer, bank, host=args.host, port=args.port,
         auth_token=args.auth_token, sharded=args.sharded, aot=args.aot,
         mesh=dp if dp > 1 else None,
+        fuse_search=getattr(args, "fuse_search", False),
     )
     if args.aot:
         print(f"identify 热路径使用 AOT 程序包: {args.aot}")
     if dp > 1:
         print(f"identify 数据并行: {dp} 设备")
+    if getattr(args, "fuse_search", False):
+        print("identify 单次调度: gallery top-k 已融合进设备程序")
     host, port = server.server_address[:2]
     print(f"服务已启动: http://{host}:{port}  (gallery: {len(bank)} 条)")
 
@@ -1182,6 +1185,13 @@ def main(argv=None):
         "sharded over this many chips (0 = single device; -1 = all "
         "local devices); composes with --sharded, which spreads the "
         "gallery rows instead",
+    )
+    parser.add_argument(
+        "--fuse-search",
+        action="store_true",
+        help="serve: one-dispatch identify — the gallery top-k fuses "
+        "into the device program (one host-device round trip per "
+        "micro-batch instead of two; excludes --sharded/--dp/--aot)",
     )
     parser.add_argument(
         "--quant",

@@ -163,6 +163,28 @@ class GalleryBank:
             store.cache[key] = arr
         return store.cache[key]
 
+    def device_bank_padded(self, min_rows: int = 64, store: "_Store" = None):
+        """(device rows zero-padded to a power-of-two bucket ≥ min_rows,
+        n_real, names snapshot) — the operand shape for the one-dispatch
+        fused identify (pipeline/fused.frames_to_matches): mutations
+        within a bucket reuse the compiled program (pad rows are masked
+        there via n_real), and only bucket GROWTH recompiles. Cached per
+        store version like _device_feats."""
+        import jax.numpy as jnp
+
+        if store is None:
+            store = self._store
+        n = store.feats.shape[0]
+        gpad = min_rows
+        while gpad < n:
+            gpad *= 2
+        key = ("pad", gpad)
+        if key not in store.cache:
+            arr = np.zeros((gpad, self.feature_dim), np.float32)
+            arr[:n] = store.feats
+            store.cache[key] = jnp.asarray(arr)
+        return store.cache[key], n, store.names
+
     # ------------------------------------------------------------ search
 
     def search(

@@ -88,3 +88,52 @@ def frames_to_features(
     )
     feats = feats.reshape(b, kk, -1) * valids[..., None].astype(jnp.float32)
     return dets, feats
+
+
+def frames_to_matches(
+    det_params,
+    arc_params,
+    frames_u8: jnp.ndarray,
+    bank_padded: jnp.ndarray,
+    n_rows: jnp.ndarray,
+    cfg: PipelineConfig,
+    max_faces_embed: int = 8,
+    top_k: int = 5,
+    compute_dtype=None,
+):
+    """ONE-dispatch identify: frames → features → gallery top-k, fused.
+
+    The serving identify otherwise costs TWO host↔device round trips
+    (the fused feature program, a host sync of (B, K, 512) feats, then
+    the gallery-search program); on a tunneled host each round trip is
+    ~25 ms wall against ~2.5 ms of device work (docs/PERFORMANCE.md
+    latency config), so fusing the search halves single-frame identify
+    wall latency. The reference's webcam loop is the same
+    embed-then-compare sequence, strictly serial on CPU
+    (src/main.cpp:226-234).
+
+    bank_padded: (Gpad, D) L2-normalized gallery rows, zero-padded to a
+    size bucket (GalleryBank.device_bank_padded) so enrolls don't
+    recompile until the bucket grows. n_rows: TRACED int32 scalar —
+    rows ≥ n_rows are masked to sim −1 before top_k, so mutating the
+    gallery within a bucket reuses the compiled program.
+
+    Returns (Detections, (B, K, D) feats, (B, K, top_k) sims on the
+    (cos+1)/2 scale, (B, K, top_k) int32 row indices). Masked/pad
+    entries carry sim −1 and an arbitrary index — consumers drop
+    idx ≥ n_rows (invalid face slots keep zero feats: their sims are
+    uniformly 0.5 against every row, same as the two-dispatch path,
+    and are dropped by the valid mask exactly as there).
+    """
+    from facerecognizeonnx_tpu.match.similarity import similarity_matrix
+
+    dets, feats = frames_to_features(
+        det_params, arc_params, frames_u8, cfg, max_faces_embed,
+        compute_dtype,
+    )
+    b, k, d = feats.shape
+    sims = similarity_matrix(feats.reshape(b * k, d), bank_padded)
+    mask = jnp.arange(bank_padded.shape[0])[None, :] < n_rows
+    sims = jnp.where(mask, sims, -1.0)
+    v, i = jax.lax.top_k(sims, top_k)
+    return dets, feats, v.reshape(b, k, top_k), i.reshape(b, k, top_k)

@@ -320,6 +320,7 @@ def make_server(
     sharded: bool = False,
     aot=None,
     mesh=None,
+    fuse_search: bool = False,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -335,13 +336,14 @@ def make_server(
     client request (a tunneled-TPU first compile takes minutes;
     request_timeout covers anything that still compiles lazily, e.g.
     the gallery-search program on the first non-empty identify).
-    mesh: a jax.sharding.Mesh or device count for data-parallel serving
-    (see IdentifyService).
+    mesh: a jax.sharding.Mesh or device count for data-parallel serving;
+    fuse_search: one-dispatch identify with the gallery top-k fused into
+    the device program (see IdentifyService).
     """
     service = IdentifyService(
         detector.params, recognizer.params, bank, cfg=detector.cfg,
         max_batch=max_batch, batch_window_ms=batch_window_ms,
-        sharded=sharded, aot=aot, mesh=mesh,
+        sharded=sharded, aot=aot, mesh=mesh, fuse_search=fuse_search,
     )
     if warmup:
         service.identify(

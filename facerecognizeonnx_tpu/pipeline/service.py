@@ -61,6 +61,8 @@ class IdentifyService:
         aot=None,
         mesh=None,
         mesh_axis: str = "data",
+        fuse_search: bool = False,
+        search_top_k: int = 5,
     ):
         """aot: a pipeline.aot.AotPipeline (or .frtz path) to use as the
         fused program instead of tracing det_params/arc_params — the
@@ -77,7 +79,23 @@ class IdentifyService:
         sharded=True, which spreads the GALLERY rows over the same
         devices — batch axis and gallery axis scale independently.
         Mutually exclusive with aot (bundles are single-device
-        programs)."""
+        programs).
+
+        fuse_search: ONE-dispatch identify — the gallery top-k fuses
+        into the detect→align→embed program (frames_to_matches), so a
+        request costs one host↔device round trip instead of two (the
+        win is the round trip itself: ~25 ms on a tunneled host vs
+        ~2.5 ms of device work). The gallery ships to the device
+        zero-padded to a power-of-two bucket; enrolls within a bucket
+        reuse the compiled program, bucket growth recompiles.
+        Per-request top_k is capped at search_top_k (the baked program
+        width). Exclusive with sharded/mesh/aot in this version (the
+        sharded search and bundles keep the two-dispatch path)."""
+        if fuse_search and (sharded or mesh is not None or aot is not None):
+            raise ValueError(
+                "fuse_search composes only with the plain single-device "
+                "program (not sharded/mesh/aot) in this version"
+            )
         if aot is not None and mesh is not None:
             raise ValueError(
                 "aot and mesh are mutually exclusive: .frtz bundles are "
@@ -108,6 +126,12 @@ class IdentifyService:
         self.window_s = batch_window_ms / 1e3
         self.max_faces = max_faces
         self.mesh = mesh
+        self.fuse_search = fuse_search
+        self.search_top_k = search_top_k
+        if fuse_search:
+            self._det_params = det_params
+            self._arc_params = arc_params
+            self._fused_cache = {}  # gallery bucket size → jitted program
         if mesh is not None:
             from facerecognizeonnx_tpu.parallel.sharded_ops import (
                 make_dp_program,
@@ -132,6 +156,18 @@ class IdentifyService:
             self._program = jax.jit(
                 lambda frames: frames_to_features(
                     det_params, arc_params, frames, cfg, max_faces
+                )
+            )
+        if fuse_search:
+            from facerecognizeonnx_tpu.pipeline.fused import frames_to_matches
+
+            # jit retraces per gallery BUCKET shape (power-of-two padded
+            # bank, GalleryBank.device_bank_padded); n_rows is traced so
+            # enrolls within a bucket hit the compiled program
+            self._fused = jax.jit(
+                lambda frames, bank, n: frames_to_matches(
+                    det_params, arc_params, frames, bank, n, cfg,
+                    max_faces, search_top_k,
                 )
             )
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
@@ -235,7 +271,15 @@ class IdentifyService:
             scales.append(scale)
         pad_to = self.max_batch
         stacked = np.stack(frames + [frames[-1]] * (pad_to - len(frames)))
-        dets, feats = self._program(jnp.asarray(stacked))
+        fused = self.fuse_search and len(self.bank) > 0
+        if fused:
+            bank_dev, n_rows, names_snap = self.bank.device_bank_padded()
+            dets, feats, f_sims, f_idx = self._fused(
+                jnp.asarray(stacked), bank_dev, jnp.int32(n_rows)
+            )
+            f_sims, f_idx = np.asarray(f_sims), np.asarray(f_idx)
+        else:
+            dets, feats = self._program(jnp.asarray(stacked))
         feats = np.asarray(feats)
         dets = jax.tree_util.tree_map(np.asarray, dets)
         self._batches_run += 1
@@ -244,7 +288,14 @@ class IdentifyService:
             k = int(valid.sum())
             names: List[List[str]] = [[] for _ in range(self.max_faces)]
             sims = np.zeros((self.max_faces, req.top_k), np.float32)
-            if k and len(self.bank):
+            if fused and k:
+                # first min(t, n_rows) entries are real rows (pad rows
+                # were masked to sim −1 and sort last)
+                t = min(req.top_k, self.search_top_k, n_rows)
+                for j in range(k):
+                    names[j] = [names_snap[ii] for ii in f_idx[i, j, :t]]
+                    sims[j, :t] = f_sims[i, j, :t]
+            elif k and len(self.bank):
                 n, s = self.bank.search(
                     feats[i][:k], top_k=req.top_k, sharded=self.sharded
                 )

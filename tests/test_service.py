@@ -395,7 +395,7 @@ def test_dp_service_matches_local(rng):
     exclusivity contract."""
     cfg = PipelineConfig(
         det_input_size=128, compute_dtype="float32", pre_nms_topk=64,
-        max_faces=16,
+        max_faces=16, score_threshold=0.3,  # random-weight scrfd fires on noise
     )
     det = init_on_host(lambda: scrfd.init_params(jax.random.PRNGKey(0)))
     arc = init_on_host(
@@ -420,6 +420,7 @@ def test_dp_service_matches_local(rng):
         futures = [svc_dp.identify_async(im, top_k=2) for im in imgs]
         dp_results = [f.result(timeout=600.0) for f in futures]
         assert svc_dp.stats()["batches"] < len(imgs)  # proves coalescing
+        assert any(r.valid.sum() > 0 for r in dp_results)  # non-vacuous
         for im, got in zip(imgs, dp_results):
             want = svc_local.identify(im, top_k=2, timeout=600.0)
             np.testing.assert_array_equal(want.valid, got.valid)
@@ -432,3 +433,77 @@ def test_dp_service_matches_local(rng):
 
     with pytest.raises(ValueError):
         IdentifyService(det, arc, bank, cfg, aot="x.frtz", mesh=4)
+
+
+def test_device_bank_padded_buckets():
+    """Power-of-two padded device bank for the fused identify: empty
+    bank sits in the 64-row bucket, growth past a bucket doubles it,
+    pad rows are zero and real rows match the host bank."""
+    bank = GalleryBank()
+    dev, n, names = bank.device_bank_padded()
+    assert dev.shape == (64, 512) and n == 0 and names == []
+
+    r = np.random.default_rng(0)
+    feats = r.normal(size=(70, 512)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    bank.add_batch([f"p{i}" for i in range(70)], feats)
+    dev, n, names = bank.device_bank_padded()
+    assert dev.shape == (128, 512) and n == 70 and len(names) == 70
+    np.testing.assert_allclose(np.asarray(dev[:70]), feats, atol=1e-6)
+    assert np.all(np.asarray(dev[70:]) == 0)
+    # per-store-version cache: same object back on a second call
+    assert bank.device_bank_padded()[0] is dev
+
+
+def test_fused_search_service_matches_default(rng):
+    """fuse_search=True (serve --fuse-search): identify runs as ONE
+    device dispatch with the gallery top-k fused into the program and
+    returns results identical to the two-dispatch default — including
+    after an enroll that stays inside the gallery bucket (n_rows is
+    traced, so the compiled program is reused). Exclusivity with
+    sharded/mesh/aot is pinned."""
+    cfg = PipelineConfig(
+        det_input_size=128, compute_dtype="float32", pre_nms_topk=64,
+        max_faces=16, score_threshold=0.3,  # random-weight scrfd fires on noise
+    )
+    det = init_on_host(lambda: scrfd.init_params(jax.random.PRNGKey(0)))
+    arc = init_on_host(
+        lambda: arcface.init_params(jax.random.PRNGKey(1), arch="iresnet18")
+    )
+    bank = GalleryBank()
+    r = np.random.default_rng(1)
+    feats = r.normal(size=(12, 512)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    bank.add_batch([f"person{i}" for i in range(12)], feats)
+    img = rng.integers(0, 256, (96, 120, 3), dtype=np.uint8)
+
+    svc_f = IdentifyService(
+        det, arc, bank, cfg, max_batch=2, batch_window_ms=5,
+        fuse_search=True, search_top_k=3,
+    )
+    svc_d = IdentifyService(det, arc, bank, cfg, max_batch=2, batch_window_ms=5)
+    try:
+        for round_label in ("initial", "after-enroll"):
+            got = svc_f.identify(img, top_k=3, timeout=600.0)
+            want = svc_d.identify(img, top_k=3, timeout=600.0)
+            assert got.valid.sum() > 0  # non-vacuous: faces matched
+            np.testing.assert_array_equal(want.valid, got.valid)
+            assert want.names == got.names, round_label
+            np.testing.assert_allclose(want.sims, got.sims, atol=1e-5)
+            np.testing.assert_allclose(want.boxes, got.boxes, atol=1e-5)
+            if round_label == "initial":
+                # same 64-row bucket (13 < 64): the fused program is reused
+                extra = r.normal(size=(512,)).astype(np.float32)
+                bank.add("extra", extra / np.linalg.norm(extra))
+        # per-request top_k is capped at the program's search_top_k
+        capped = svc_f.identify(img, top_k=5, timeout=600.0)
+        k = int(capped.valid.sum())
+        assert k > 0 and all(len(capped.names[j]) == 3 for j in range(k))
+        assert np.all(capped.sims[:k, 3:] == 0)
+    finally:
+        svc_f.close()
+        svc_d.close()
+
+    for bad in (dict(sharded=True), dict(mesh=2), dict(aot="x.frtz")):
+        with pytest.raises(ValueError):
+            IdentifyService(det, arc, bank, cfg, fuse_search=True, **bad)
