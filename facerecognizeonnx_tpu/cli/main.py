@@ -509,10 +509,17 @@ def mode_serve(args):
         else GalleryBank()
     )
     dp = getattr(args, "dp", 0) or 0
-    if dp == -1:
+    if dp != 0:
         import jax
 
-        dp = len(jax.devices())
+        n_local = len(jax.devices())
+        want = n_local if dp == -1 else dp
+        # IdentifyService meshes over devices[:dp]; clamp so the startup
+        # line reports the mesh actually built (a 1-chip host asked for
+        # --dp 8 serves fine, on one device)
+        dp = min(want, n_local)
+        if dp < want:
+            print(f"--dp {want} 请求, 本机只有 {n_local} 设备 → dp={dp}")
     server = make_server(
         detector, recognizer, bank, host=args.host, port=args.port,
         auth_token=args.auth_token, sharded=args.sharded, aot=args.aot,
@@ -1191,7 +1198,8 @@ def main(argv=None):
         action="store_true",
         help="serve: one-dispatch identify — the gallery top-k fuses "
         "into the device program (one host-device round trip per "
-        "micro-batch instead of two; excludes --sharded/--dp/--aot)",
+        "micro-batch instead of two; composes with --dp, excludes "
+        "--sharded/--aot)",
     )
     parser.add_argument(
         "--quant",

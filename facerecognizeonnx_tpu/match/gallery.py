@@ -163,13 +163,18 @@ class GalleryBank:
             store.cache[key] = arr
         return store.cache[key]
 
-    def device_bank_padded(self, min_rows: int = 64, store: "_Store" = None):
+    def device_bank_padded(
+        self, min_rows: int = 64, store: "_Store" = None, sharding=None
+    ):
         """(device rows zero-padded to a power-of-two bucket ≥ min_rows,
         n_real, names snapshot) — the operand shape for the one-dispatch
         fused identify (pipeline/fused.frames_to_matches): mutations
         within a bucket reuse the compiled program (pad rows are masked
         there via n_real), and only bucket GROWTH recompiles. Cached per
-        store version like _device_feats."""
+        (bucket, sharding) on the store version like _device_feats;
+        sharding (e.g. a replicated NamedSharding for dp serving) places
+        the bank once instead of per dispatch."""
+        import jax
         import jax.numpy as jnp
 
         if store is None:
@@ -178,11 +183,14 @@ class GalleryBank:
         gpad = min_rows
         while gpad < n:
             gpad *= 2
-        key = ("pad", gpad)
+        key = ("pad", gpad, sharding)
         if key not in store.cache:
             arr = np.zeros((gpad, self.feature_dim), np.float32)
             arr[:n] = store.feats
-            store.cache[key] = jnp.asarray(arr)
+            store.cache[key] = (
+                jnp.asarray(arr) if sharding is None
+                else jax.device_put(arr, sharding)
+            )
         return store.cache[key], n, store.names
 
     # ------------------------------------------------------------ search

@@ -166,6 +166,7 @@ def make_dp_program(
     mesh: Optional[Mesh] = None,
     axis: str = "data",
     max_faces_embed: int = 8,
+    search_top_k: Optional[int] = None,
 ):
     """Build the data-parallel fused identify program ONCE; returns
     (program, mesh).
@@ -183,8 +184,18 @@ def make_dp_program(
     path, so throughput scales linearly over ICI-connected chips. This
     is the multi-chip form of the reference's webcam/compare inner loop
     (src/main.cpp:214-257 — one frame, one face, one CPU there).
+
+    search_top_k, when set, ALSO fuses the gallery top-k into the same
+    SPMD program (pipeline/fused.frames_to_matches — the gallery bank is
+    replicated, each chip searches its own frame shard's faces):
+    `program(frames, bank_padded, n_rows)` then returns
+    (Detections, feats, sims, idx), all batch-sharded. dp and
+    one-dispatch identify compose in one program.
     """
-    from facerecognizeonnx_tpu.pipeline.fused import frames_to_features
+    from facerecognizeonnx_tpu.pipeline.fused import (
+        frames_to_features,
+        frames_to_matches,
+    )
     from facerecognizeonnx_tpu.types import Detections
 
     if mesh is None:
@@ -195,24 +206,50 @@ def make_dp_program(
     ap_tree = jax.device_put(ap_tree, repl)
 
     sh = P(axis)
-    fn = jax.jit(
-        shard_map(
-            lambda dp, ap, v: frames_to_features(
-                dp, _rebuild(ap), v, cfg, max_faces_embed=max_faces_embed
-            ),
-            mesh=mesh,
-            in_specs=(P(), P(), sh),
-            out_specs=(
-                Detections(boxes=sh, scores=sh, kps=sh, valid=sh),
-                sh,
-            ),
-        )
-    )
     in_sharding = NamedSharding(mesh, sh)
+    dets_sh = Detections(boxes=sh, scores=sh, kps=sh, valid=sh)
+    if search_top_k is None:
+        fn = jax.jit(
+            shard_map(
+                lambda dp, ap, v: frames_to_features(
+                    dp, _rebuild(ap), v, cfg, max_faces_embed=max_faces_embed
+                ),
+                mesh=mesh,
+                in_specs=(P(), P(), sh),
+                out_specs=(dets_sh, sh),
+                # the Pallas warp kernel's out_shape carries no vma
+                # annotation, so the replication checker rejects the
+                # trace on TPU (CPU tests take the gather warp and never
+                # see it) — disabled like every other shard_map here
+                check_rep=False,
+            )
+        )
 
-    def program(frames_u8):
-        x = jax.device_put(np.asarray(frames_u8), in_sharding)
-        return fn(det_params, ap_tree, x)
+        def program(frames_u8):
+            x = jax.device_put(np.asarray(frames_u8), in_sharding)
+            return fn(det_params, ap_tree, x)
+
+    else:
+        fn = jax.jit(
+            shard_map(
+                lambda dp, ap, v, bank, n: frames_to_matches(
+                    dp, _rebuild(ap), v, bank, n, cfg,
+                    max_faces_embed=max_faces_embed, top_k=search_top_k,
+                ),
+                mesh=mesh,
+                in_specs=(P(), P(), sh, P(), P()),
+                out_specs=(dets_sh, sh, sh, sh),
+                check_rep=False,  # same: Pallas warp has no vma info
+            )
+        )
+
+        def program(frames_u8, bank_padded, n_rows):
+            x = jax.device_put(np.asarray(frames_u8), in_sharding)
+            return fn(
+                det_params, ap_tree, x,
+                jax.device_put(bank_padded, repl),
+                jnp.int32(n_rows),
+            )
 
     return program, mesh
 

@@ -89,12 +89,15 @@ class IdentifyService:
         zero-padded to a power-of-two bucket; enrolls within a bucket
         reuse the compiled program, bucket growth recompiles.
         Per-request top_k is capped at search_top_k (the baked program
-        width). Exclusive with sharded/mesh/aot in this version (the
-        sharded search and bundles keep the two-dispatch path)."""
-        if fuse_search and (sharded or mesh is not None or aot is not None):
+        width). Composes with mesh (dp + fused search in one SPMD
+        program, bank replicated); exclusive with sharded (which
+        spreads gallery rows instead) and aot (bundles bake the
+        feature program only)."""
+        if fuse_search and (sharded or aot is not None):
             raise ValueError(
-                "fuse_search composes only with the plain single-device "
-                "program (not sharded/mesh/aot) in this version"
+                "fuse_search composes with mesh dp, but not with "
+                "sharded gallery rows or aot bundles (those keep the "
+                "two-dispatch path)"
             )
         if aot is not None and mesh is not None:
             raise ValueError(
@@ -128,19 +131,26 @@ class IdentifyService:
         self.mesh = mesh
         self.fuse_search = fuse_search
         self.search_top_k = search_top_k
-        if fuse_search:
-            self._det_params = det_params
-            self._arc_params = arc_params
-            self._fused_cache = {}  # gallery bucket size → jitted program
+        # the replicated-bank device sharding for the fused search (the
+        # padded bank caches per (bucket, sharding) in the store)
+        self._bank_sharding = None
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
             from facerecognizeonnx_tpu.parallel.sharded_ops import (
                 make_dp_program,
             )
 
-            self._program, _ = make_dp_program(
+            program, _ = make_dp_program(
                 det_params, arc_params, cfg, mesh=mesh, axis=mesh_axis,
                 max_faces_embed=max_faces,
+                search_top_k=search_top_k if fuse_search else None,
             )
+            if fuse_search:
+                self._fused = program
+                self._bank_sharding = NamedSharding(mesh, PartitionSpec())
+            else:
+                self._program = program
         elif aot is not None:
             from facerecognizeonnx_tpu.types import Detections
 
@@ -152,13 +162,7 @@ class IdentifyService:
                 )
 
             self._program = _aot_program
-        else:
-            self._program = jax.jit(
-                lambda frames: frames_to_features(
-                    det_params, arc_params, frames, cfg, max_faces
-                )
-            )
-        if fuse_search:
+        elif fuse_search:
             from facerecognizeonnx_tpu.pipeline.fused import frames_to_matches
 
             # jit retraces per gallery BUCKET shape (power-of-two padded
@@ -168,6 +172,12 @@ class IdentifyService:
                 lambda frames, bank, n: frames_to_matches(
                     det_params, arc_params, frames, bank, n, cfg,
                     max_faces, search_top_k,
+                )
+            )
+        else:
+            self._program = jax.jit(
+                lambda frames: frames_to_features(
+                    det_params, arc_params, frames, cfg, max_faces
                 )
             )
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
@@ -271,9 +281,13 @@ class IdentifyService:
             scales.append(scale)
         pad_to = self.max_batch
         stacked = np.stack(frames + [frames[-1]] * (pad_to - len(frames)))
-        fused = self.fuse_search and len(self.bank) > 0
+        fused = self.fuse_search
         if fused:
-            bank_dev, n_rows, names_snap = self.bank.device_bank_padded()
+            # empty bank still runs the fused program: n_rows=0 masks
+            # every sim, t below becomes 0, names stay empty
+            bank_dev, n_rows, names_snap = self.bank.device_bank_padded(
+                sharding=self._bank_sharding
+            )
             dets, feats, f_sims, f_idx = self._fused(
                 jnp.asarray(stacked), bank_dev, jnp.int32(n_rows)
             )

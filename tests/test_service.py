@@ -460,8 +460,9 @@ def test_fused_search_service_matches_default(rng):
     device dispatch with the gallery top-k fused into the program and
     returns results identical to the two-dispatch default — including
     after an enroll that stays inside the gallery bucket (n_rows is
-    traced, so the compiled program is reused). Exclusivity with
-    sharded/mesh/aot is pinned."""
+    traced, so the compiled program is reused). The dp composition
+    (mesh=2 + fuse_search: ONE SPMD program) is held to the same
+    oracle; exclusivity with sharded/aot is pinned."""
     cfg = PipelineConfig(
         det_input_size=128, compute_dtype="float32", pre_nms_topk=64,
         max_faces=16, score_threshold=0.3,  # random-weight scrfd fires on noise
@@ -481,16 +482,27 @@ def test_fused_search_service_matches_default(rng):
         det, arc, bank, cfg, max_batch=2, batch_window_ms=5,
         fuse_search=True, search_top_k=3,
     )
+    svc_df = IdentifyService(  # dp + fused search in ONE SPMD program
+        det, arc, bank, cfg, max_batch=2, batch_window_ms=5,
+        fuse_search=True, search_top_k=3, mesh=2,
+    )
     svc_d = IdentifyService(det, arc, bank, cfg, max_batch=2, batch_window_ms=5)
     try:
         for round_label in ("initial", "after-enroll"):
-            got = svc_f.identify(img, top_k=3, timeout=600.0)
             want = svc_d.identify(img, top_k=3, timeout=600.0)
-            assert got.valid.sum() > 0  # non-vacuous: faces matched
-            np.testing.assert_array_equal(want.valid, got.valid)
-            assert want.names == got.names, round_label
-            np.testing.assert_allclose(want.sims, got.sims, atol=1e-5)
-            np.testing.assert_allclose(want.boxes, got.boxes, atol=1e-5)
+            assert want.valid.sum() > 0  # non-vacuous: faces matched
+            for svc in (svc_f, svc_df):
+                got = svc.identify(img, top_k=3, timeout=600.0)
+                np.testing.assert_array_equal(want.valid, got.valid)
+                assert want.names == got.names, round_label
+                np.testing.assert_allclose(want.sims, got.sims, atol=1e-5)
+                # boxes are pixel-scale (~100s); the dp program compiles
+                # through shard_map with different XLA fusion choices, so
+                # allow last-ulp float32 drift (observed max ~3e-5 abs,
+                # ~9e-7 rel)
+                np.testing.assert_allclose(
+                    want.boxes, got.boxes, rtol=1e-5, atol=1e-4
+                )
             if round_label == "initial":
                 # same 64-row bucket (13 < 64): the fused program is reused
                 extra = r.normal(size=(512,)).astype(np.float32)
@@ -502,8 +514,9 @@ def test_fused_search_service_matches_default(rng):
         assert np.all(capped.sims[:k, 3:] == 0)
     finally:
         svc_f.close()
+        svc_df.close()
         svc_d.close()
 
-    for bad in (dict(sharded=True), dict(mesh=2), dict(aot="x.frtz")):
+    for bad in (dict(sharded=True), dict(aot="x.frtz")):
         with pytest.raises(ValueError):
             IdentifyService(det, arc, bank, cfg, fuse_search=True, **bad)
