@@ -68,6 +68,14 @@ class PipelineConfig:
     #              faces on v5e vs ~86 ms for the best gather form;
     #              ≤0.5-LSB p99 deviation vs "gather")
     warp_impl: str = "gather"
+    # Run the Pallas warp in interpret mode (CPU emulation of the
+    # Mosaic kernel). Lets CPU-mesh tests exercise the EXACT production
+    # kernel path — including its interaction with shard_map, which the
+    # portable "gather" warp can't stand in for (a shard_map replication
+    # check rejected the kernel on real TPUs while every CPU test stayed
+    # green). Never set in production; AOT export must keep this False
+    # so the kernel lowers to its serialized Mosaic payload.
+    warp_interpret: bool = False
     # Skip the alignment warp for UNOCCUPIED face slots in the fused
     # frames→features program (Pallas valid-skip: measured 0.70x warp
     # time at 2/8 occupancy, zero overhead when all slots are real).

@@ -67,6 +67,7 @@ def align_faces_batch(
             frames_u8.astype(jnp.uint8),
             M_sel,
             size,
+            interpret=cfg.warp_interpret,
             layout="xmajor",
             epilogue=(cfg.pixel_mean, cfg.pixel_scale) if normalized else None,
             valid=valid,

@@ -181,3 +181,61 @@ def test_sharded_fused_pipeline_quantized(rng):
         np.linalg.norm(fs[live], axis=1) * np.linalg.norm(fl[live], axis=1)
     )
     assert cos.min() > 0.999, cos.min()
+
+
+def test_dp_program_runs_pallas_warp_in_shard_map(rng):
+    """REGRESSION: the dp fused program must trace with the Pallas warp
+    kernel inside shard_map. On real TPUs shard_map's replication
+    checker (check_vma) rejected the kernel's un-annotated out_shape
+    while every CPU test silently took the gather warp — caught live,
+    fixed with check_rep=False in make_dp_program. warp_interpret=True
+    runs the EXACT production kernel path (interpret-mode Mosaic) on the
+    CPU mesh; results must match the unsharded program, fused gallery
+    top-k included."""
+    from facerecognizeonnx_tpu.models import arcface, scrfd
+    from facerecognizeonnx_tpu.parallel.sharded_ops import make_dp_program
+    from facerecognizeonnx_tpu.pipeline.fused import frames_to_matches
+    from facerecognizeonnx_tpu.utils.hostinit import init_on_host
+
+    size = 128
+    cfg = PipelineConfig(
+        det_input_size=size, compute_dtype="float32", pre_nms_topk=64,
+        max_faces=16, score_threshold=0.3,
+        warp_impl="pallas", warp_interpret=True,
+    )
+    det = init_on_host(lambda: scrfd.init_params(jax.random.PRNGKey(0)))
+    arc = init_on_host(
+        lambda: arcface.init_params(jax.random.PRNGKey(1), arch="iresnet18")
+    )
+    mesh = make_mesh(("data",), devices=jax.devices()[:2])
+    program, _ = make_dp_program(
+        det, arc, cfg, mesh=mesh, max_faces_embed=2, search_top_k=3
+    )
+
+    frames = rng.integers(0, 256, (2, size, size, 3)).astype(np.uint8)
+    bank = _normed(rng, 16)
+    n_rows = 12  # rows 12..15 are masked pad rows
+
+    dets_s, feats_s, sims_s, idx_s = program(frames, bank, n_rows)
+    dets_l, feats_l, sims_l, idx_l = jax.jit(
+        lambda v, b: frames_to_matches(
+            det, arc, v, b, jnp.int32(n_rows), cfg,
+            max_faces_embed=2, top_k=3,
+        )
+    )(jnp.asarray(frames), jnp.asarray(bank))
+
+    assert np.asarray(dets_l.valid).sum() > 0  # non-vacuous
+    np.testing.assert_array_equal(
+        np.asarray(dets_s.valid), np.asarray(dets_l.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats_s), np.asarray(feats_l), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sims_s), np.asarray(sims_l), atol=1e-4
+    )
+    live = np.asarray(sims_l) > -1.0
+    assert (np.asarray(idx_s)[live] < n_rows).all()
+    np.testing.assert_array_equal(
+        np.asarray(idx_s)[live], np.asarray(idx_l)[live]
+    )
