@@ -1,4 +1,4 @@
-"""The multi-chip scaling surface on one page: dp, tp, pp, dp x pp x tp.
+"""The multi-chip scaling surface on one page: dp, tp, pp, ep, dp x pp x tp.
 
 The reference is a single-process CPU app (one frame, one face at a
 time — reference src/main.cpp:214-257); this framework's equivalents
@@ -13,9 +13,12 @@ scale the same pipeline over a `jax.sharding.Mesh`:
         2-stage microbatch pipeline over "stage" (lax.ppermute wires).
   3ax — the same call with BOTH a "data" and a "model" axis: the embed
         stage runs tensor-parallel inside the pipeline.
+  ep  — ep_embed_crops: specialist recognizers (same architecture,
+        different weights), one resident per "expert" shard; faces are
+        routed to their expert via all_to_all (the MoE pattern).
 
-All four reproduce the fused single-program result exactly (the
-parallelism is an execution choice, not a semantic one), and all four
+All of these reproduce the single-program result exactly (the
+parallelism is an execution choice, not a semantic one), and all
 run below on an 8-device virtual CPU mesh — no TPU pod needed to try
 it. On real hardware, drop the XLA_FLAGS line and the same code runs
 over ICI.
@@ -97,3 +100,26 @@ np.testing.assert_allclose(
     np.asarray(feats_3), np.asarray(feats), rtol=1e-4, atol=1e-5
 )
 print("dp x pp x tp feats", np.asarray(feats_3).shape, "(== dp result)")
+
+# ep: specialist recognizers (e.g. frontal/profile fine-tunes of ONE
+# architecture), one resident per "expert" shard; each face crosses to
+# its expert's chip via all_to_all and its feature rides back
+from facerecognizeonnx_tpu.parallel.expert_parallel import (  # noqa: E402
+    ep_embed_crops,
+    route_by_yaw,
+)
+
+frontal = arc
+profile = init_on_host(
+    lambda: arcface.init_params(jax.random.PRNGKey(2), arch="iresnet18")
+)
+emesh = make_mesh(("data", "expert"), (4, 2), devices=devices)
+kps = rng.uniform(10, 100, (8, 5, 2)).astype(np.float32)  # raw landmarks
+ids = route_by_yaw(kps, 2)  # or any learned/heuristic gate
+feats_ep, routed = ep_embed_crops(
+    [frontal, profile], ids, crops, cfg, mesh=emesh, data_axis="data"
+)
+print(
+    "dp x ep feats", np.asarray(feats_ep).shape,
+    f"({int(np.asarray(routed).sum())}/8 routed)",
+)

@@ -1,0 +1,165 @@
+"""Expert-parallel embed vs the dense per-expert oracle.
+
+The MoE dispatch/combine (parallel/expert_parallel.py) must be a pure
+execution choice: routing face i to expert e over the mesh returns
+exactly embed_crops(params[e], crop_i) for every routed face, on
+expert-only meshes (1 and 2 experts per shard), on a dp x ep mesh, and
+under capacity overflow the unrouted rows are zero with routed=False
+(the reference's empty-feature failure contract,
+src/face_recognizer.cpp:254-257).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from facerecognizeonnx_tpu.config import PipelineConfig
+from facerecognizeonnx_tpu.embed.pipeline import embed_crops
+from facerecognizeonnx_tpu.models import arcface
+from facerecognizeonnx_tpu.parallel.expert_parallel import (
+    ep_embed_crops,
+    route_by_yaw,
+    stack_experts,
+)
+from facerecognizeonnx_tpu.parallel.mesh import make_mesh
+from facerecognizeonnx_tpu.utils.hostinit import init_on_host
+
+# 32x32 crops keep the CPU oracle fast; the iresnet stages still stride
+# the full 16x down (same trick as __graft_entry__.dryrun_multichip)
+CFG = PipelineConfig(compute_dtype="float32", rec_input_size=32)
+
+
+@pytest.fixture(scope="module")
+def experts():
+    return [
+        init_on_host(
+            lambda k=k: arcface.init_params(
+                jax.random.PRNGKey(k), arch="iresnet18", input_size=32
+            )
+        )
+        for k in range(4)
+    ]
+
+
+@pytest.fixture(scope="module")
+def crops():
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, (8, 32, 32, 3)).astype(np.uint8)
+
+
+def _dense_oracle(experts, ids, crops):
+    ref = np.zeros((len(ids), 512), np.float32)
+    for e in range(len(experts)):
+        sel = np.nonzero(ids == e)[0]
+        if len(sel):
+            ref[sel] = np.asarray(
+                jax.jit(lambda p, c: embed_crops(p, c, CFG))(experts[e], crops[sel])
+            )
+    return ref
+
+
+def _check_parity(experts, ids, crops, mesh, **kw):
+    feats, routed = ep_embed_crops(experts, ids, crops, CFG, mesh=mesh, **kw)
+    assert np.asarray(routed).all(), "nothing should drop at this capacity"
+    np.testing.assert_allclose(
+        np.asarray(feats), _dense_oracle(experts, ids, crops),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_one_expert_per_shard(experts, crops):
+    mesh = make_mesh(("expert",), (4,), devices=jax.devices()[:4])
+    ids = np.array([0, 1, 2, 3, 3, 2, 1, 0])
+    _check_parity(experts, ids, crops, mesh, capacity_factor=2.0)
+
+
+def test_two_experts_per_shard(experts, crops):
+    mesh = make_mesh(("expert",), (2,), devices=jax.devices()[:2])
+    ids = np.array([3, 3, 0, 1, 2, 0, 1, 2])
+    _check_parity(experts, ids, crops, mesh, capacity_factor=2.0)
+
+
+def test_single_device_degenerates_to_local(experts, crops):
+    mesh = make_mesh(("expert",), (1,), devices=jax.devices()[:1])
+    ids = np.array([2, 0, 1, 3, 0, 0, 3, 1])  # skew: expert 0 gets 3 faces
+    _check_parity(experts, ids, crops, mesh, capacity_factor=1.5)
+
+
+def test_dp_x_ep(experts, crops):
+    mesh = make_mesh(("data", "expert"), (2, 2), devices=jax.devices()[:4])
+    ids = np.array([0, 1, 1, 0, 1, 0, 0, 1])
+    _check_parity(
+        experts[:2], ids, crops, mesh, data_axis="data", capacity_factor=2.0
+    )
+
+
+def test_capacity_overflow_drops_visibly(experts, crops):
+    # 4 shards x local_batch 2, E=4, cf=1.0 -> capacity ceil(2/4)=1 slot
+    # per (shard, expert): both faces of every shard target expert 0, so
+    # exactly one per shard routes and one drops
+    mesh = make_mesh(("expert",), (4,), devices=jax.devices()[:4])
+    ids = np.zeros(8, np.int64)
+    feats, routed = ep_embed_crops(
+        experts, ids, crops, CFG, mesh=mesh, capacity_factor=1.0
+    )
+    routed = np.asarray(routed)
+    feats = np.asarray(feats)
+    assert routed.sum() == 4  # one slot per source shard survived
+    assert (feats[~routed] == 0).all()
+    ref = _dense_oracle(experts, ids, crops)
+    np.testing.assert_allclose(feats[routed], ref[routed], rtol=1e-5, atol=1e-6)
+
+
+def test_invalid_ids_never_route(experts, crops):
+    mesh = make_mesh(("expert",), (2,), devices=jax.devices()[:2])
+    ids = np.array([0, -1, 7, 1, 0, 99, 1, -3])
+    feats, routed = ep_embed_crops(
+        experts[:2], ids, crops, CFG, mesh=mesh, capacity_factor=4.0
+    )
+    routed, feats = np.asarray(routed), np.asarray(feats)
+    ok = (ids >= 0) & (ids < 2)
+    np.testing.assert_array_equal(routed, ok)
+    assert (feats[~ok] == 0).all()
+    np.testing.assert_allclose(
+        feats[ok], _dense_oracle(experts[:2], ids[ok], crops[ok]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_odd_batch_pads_and_slices(experts, crops):
+    mesh = make_mesh(("expert",), (4,), devices=jax.devices()[:4])
+    ids = np.array([1, 2, 0])
+    feats, routed = ep_embed_crops(
+        experts, ids, crops[:3], CFG, mesh=mesh, capacity_factor=4.0
+    )
+    assert np.asarray(feats).shape == (3, 512) and np.asarray(routed).all()
+    np.testing.assert_allclose(
+        np.asarray(feats), _dense_oracle(experts, ids, crops[:3]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_stack_experts_rejects_mixed_arch(experts):
+    from facerecognizeonnx_tpu.models import mobilefacenet as mbf
+
+    other = init_on_host(lambda: mbf.init_params(jax.random.PRNGKey(9)))
+    with pytest.raises(ValueError, match="architecture"):
+        stack_experts([experts[0], other])
+
+
+def test_route_by_yaw_buckets():
+    def kps(nose_r):
+        # eyes at x=30/70; nose_r is the nose's relative position
+        return np.array(
+            [[30, 50], [70, 50], [30 + 40 * nose_r, 60], [35, 80], [65, 80]],
+            np.float32,
+        )
+
+    pts = np.stack([kps(0.1), kps(0.5), kps(0.9)])
+    ids = np.asarray(route_by_yaw(pts, 3))
+    np.testing.assert_array_equal(ids, [0, 1, 2])
+    assert ids.dtype == np.int32
+    # degenerate eye span (zero) falls to the frontal bucket, not NaN
+    degen = kps(0.5)
+    degen[1, 0] = degen[0, 0]
+    assert int(route_by_yaw(degen[None], 3)[0]) == 1
