@@ -122,7 +122,16 @@ def _emit_final(results, order):
         compact["detail"]["detail_file"] = detail_file
     line = json.dumps(compact)
     if len(line) > 1900:  # never outgrow the driver's tail window again
-        compact["detail"] = {"configs": "truncated, see " + str(detail_file)}
+        compact["detail"] = {
+            "configs": (
+                "truncated, see " + detail_file
+                if detail_file
+                else "truncated (detail file unwritable)"
+            )
+        }
+        # keep the chip-health annotation even in the degraded line
+        if results.get("_hbm_gbps") is not None:
+            compact["detail"]["hbm_read_gbps"] = results["_hbm_gbps"]
         line = json.dumps(compact)
     print(line)
     sys.stdout.flush()
@@ -452,10 +461,13 @@ def main():
         end-to-end effect. Occupancy is forced via frames_to_features'
         valid_cap bench control because synthetic frames produce
         arbitrary detections. faces/sec counts the 2 real faces."""
-        cfg_occ = PipelineConfig(
-            warp_impl=cfg.warp_impl,
-            skip_invalid_faces=True,
-        )
+        import dataclasses
+
+        # replace() so every OTHER field of the bench's base config is
+        # inherited — rebuilding from defaults would silently diverge
+        # from the headline it A/Bs against if main() ever adds another
+        # override
+        cfg_occ = dataclasses.replace(cfg, skip_invalid_faces=True)
         out = bench_headline(args, cfg_occ, det_params, arc_params, log,
                              valid_cap=2)
         out["metric"] = (

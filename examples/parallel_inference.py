@@ -29,7 +29,14 @@ Run:  python examples/parallel_inference.py
 import os
 import sys
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# APPEND to any existing XLA_FLAGS (setdefault would silently skip the
+# 8-device forcing on hosts that already export flags, and the meshes
+# below would then fail on a 1-device platform)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax
 

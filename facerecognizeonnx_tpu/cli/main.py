@@ -1199,7 +1199,8 @@ def main(argv=None):
         help="serve: one-dispatch identify — the gallery top-k fuses "
         "into the device program (one host-device round trip per "
         "micro-batch instead of two; composes with --dp, excludes "
-        "--sharded/--aot)",
+        "--sharded/--aot; requests asking for more than 5 matches fall "
+        "back to the host-side search so results never shrink)",
     )
     parser.add_argument(
         "--quant",

@@ -55,7 +55,11 @@ def stack_experts(params_list: Sequence) -> Tuple:
 
     Returns (stacked_pytree, E). Every leaf gains a leading E dim — the
     axis the mesh's "expert" dimension shards, so each chip's local
-    leaf slice is exactly its resident experts' weights.
+    leaf slice is exactly its resident experts' weights. Stacking
+    happens ON HOST (numpy): the only device-resident copy is the
+    SHARDED one make_ep_program places — stacking on the default device
+    would demand the full E-expert tree fit one chip, the exact
+    constraint ep exists to remove.
     """
     if not params_list:
         raise ValueError("need at least one expert")
@@ -66,7 +70,7 @@ def stack_experts(params_list: Sequence) -> Tuple:
             f"structures differ: {treedefs})"
         )
     stacked = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params_list
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *params_list
     )
     return stacked, len(params_list)
 

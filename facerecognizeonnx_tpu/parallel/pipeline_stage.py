@@ -181,9 +181,11 @@ def pipelined_frames_to_features(
         from facerecognizeonnx_tpu.parallel.tensor_parallel import (
             pack_tp_params,
             recognizer_param_specs,
+            validate_tp_width,
         )
 
         ap_tree = pack_tp_params(arc_params)
+        validate_tp_width(ap_tree, mesh.shape[model_axis], model_axis)
         arc_specs = recognizer_param_specs(ap_tree, model_axis)
         rebuild = lambda ap: ap  # leaves are local shards; used as-is
     else:

@@ -96,6 +96,23 @@ def pack_tp_params(params: Dict) -> Dict:
     return out
 
 
+def validate_tp_width(params: Dict, n_shards: int, axis: str = "model"):
+    """Fail loudly BEFORE tracing when the arch can't shard `n_shards`
+    ways: a ViT whose head count doesn't divide the model axis would
+    otherwise die deep inside shard_map with an opaque reshape error
+    (hl = dloc // dh == 0). Call from every tp entry point
+    (tp_embed_crops AND the dp x pp x tp pipeline path)."""
+    if "pos_embed" in params:
+        from facerecognizeonnx_tpu.models.vit import VIT_SPECS_BY_DIM
+
+        heads = VIT_SPECS_BY_DIM[params["pos_embed"].shape[1]][2]
+        if heads % n_shards:
+            raise ValueError(
+                f"vit tensor parallelism shards heads: {heads} heads do "
+                f"not divide over {n_shards} '{axis}' shards"
+            )
+
+
 def recognizer_param_specs(params: Dict, axis: str = "model") -> Dict:
     """PartitionSpec pytree (same structure as `params`) for tensor-
     parallel inference over mesh axis `axis`.
@@ -340,15 +357,7 @@ def tp_embed_crops(
         n = len(jax.devices())
         mesh = make_mesh((axis,), (n,))
     params = pack_tp_params(params)
-    if "pos_embed" in params:
-        from facerecognizeonnx_tpu.models.vit import VIT_SPECS_BY_DIM
-
-        heads = VIT_SPECS_BY_DIM[params["pos_embed"].shape[1]][2]
-        if heads % mesh.shape[axis]:
-            raise ValueError(
-                f"vit tensor parallelism shards heads: {heads} heads do "
-                f"not divide over {mesh.shape[axis]} '{axis}' shards"
-            )
+    validate_tp_width(params, mesh.shape[axis], axis)
     specs = recognizer_param_specs(params, axis)
     n_data = mesh.shape.get(data_axis, 1)
     has_data = data_axis in mesh.axis_names and n_data > 1

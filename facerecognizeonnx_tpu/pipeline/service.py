@@ -88,8 +88,11 @@ class IdentifyService:
         ~2.5 ms of device work). The gallery ships to the device
         zero-padded to a power-of-two bucket; enrolls within a bucket
         reuse the compiled program, bucket growth recompiles.
-        Per-request top_k is capped at search_top_k (the baked program
-        width). Composes with mesh (dp + fused search in one SPMD
+        search_top_k is the baked program width; a request asking for
+        MORE matches than that is honored through the host-side gallery
+        search instead (it alone pays the second dispatch — never
+        silently fewer results than default serving). Composes with
+        mesh (dp + fused search in one SPMD
         program, bank replicated); exclusive with sharded (which
         spreads gallery rows instead) and aot (bundles bake the
         feature program only)."""
@@ -302,7 +305,20 @@ class IdentifyService:
             k = int(valid.sum())
             names: List[List[str]] = [[] for _ in range(self.max_faces)]
             sims = np.zeros((self.max_faces, req.top_k), np.float32)
-            if fused and k:
+            if fused and k and req.top_k > self.search_top_k and len(self.bank):
+                # the baked program returns search_top_k candidates; a
+                # WIDER request must not silently get fewer matches
+                # than default serving would return — honor it via the
+                # host-side gallery search (the features were already
+                # computed in the same dispatch; only this request pays
+                # the extra search)
+                n, s = self.bank.search(
+                    feats[i][:k], top_k=req.top_k, sharded=self.sharded
+                )
+                for j in range(k):
+                    names[j] = n[j]
+                    sims[j, : len(s[j])] = s[j]
+            elif fused and k:
                 # first min(t, n_rows) entries are real rows (pad rows
                 # were masked to sim −1 and sort last)
                 t = min(req.top_k, self.search_top_k, n_rows)

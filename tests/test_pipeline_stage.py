@@ -118,6 +118,21 @@ def test_tp_rejects_quantized_recognizer(params, frames):
         pipelined_frames_to_features(det, qrec, frames, CFG, mesh=mesh)
 
 
+def test_vit_heads_not_divisible_raises_in_pipeline(params, frames):
+    """The dp x pp x tp entry point must fail with the same clear
+    ValueError tp_embed_crops gives when a ViT's heads don't divide the
+    model axis — not an opaque reshape error deep inside shard_map."""
+    from facerecognizeonnx_tpu.models import vit
+
+    det, _ = params
+    vit_p = init_on_host(
+        lambda: vit.init_params(jax.random.PRNGKey(4), arch="vit_t")
+    )
+    mesh = make_mesh(("stage", "model"), (2, 4), devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match="heads"):  # vit_t has 2 heads
+        pipelined_frames_to_features(det, vit_p, frames, CFG, mesh=mesh)
+
+
 def test_bad_stage_axis_size_raises(params, frames):
     mesh = make_mesh(("stage",), (4,), devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="stage"):

@@ -507,11 +507,15 @@ def test_fused_search_service_matches_default(rng):
                 # same 64-row bucket (13 < 64): the fused program is reused
                 extra = r.normal(size=(512,)).astype(np.float32)
                 bank.add("extra", extra / np.linalg.norm(extra))
-        # per-request top_k is capped at the program's search_top_k
-        capped = svc_f.identify(img, top_k=5, timeout=600.0)
-        k = int(capped.valid.sum())
-        assert k > 0 and all(len(capped.names[j]) == 3 for j in range(k))
-        assert np.all(capped.sims[:k, 3:] == 0)
+        # a request WIDER than the baked search_top_k must not silently
+        # shrink: it falls back to the host-side gallery search and
+        # matches default serving at the full width
+        want5 = svc_d.identify(img, top_k=5, timeout=600.0)
+        wide = svc_f.identify(img, top_k=5, timeout=600.0)
+        k = int(wide.valid.sum())
+        assert k > 0 and all(len(wide.names[j]) == 5 for j in range(k))
+        assert want5.names == wide.names
+        np.testing.assert_allclose(want5.sims, wide.sims, atol=1e-5)
     finally:
         svc_f.close()
         svc_df.close()
