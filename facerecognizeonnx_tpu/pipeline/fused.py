@@ -23,20 +23,16 @@ from facerecognizeonnx_tpu.ops.image import normalize_to_rgb
 from facerecognizeonnx_tpu.types import Detections
 
 
-def frames_to_features(
+def detect_topk(
     det_params,
-    arc_params,
     frames_u8: jnp.ndarray,
     cfg: PipelineConfig,
     max_faces_embed: int = 8,
     compute_dtype=None,
     valid_cap: int = None,
-) -> Tuple[Detections, jnp.ndarray]:
-    """(B, S, S, 3) letterboxed BGR frames → (Detections, (B, K, 512)).
-
-    K = max_faces_embed top-scoring faces per frame are aligned and
-    embedded (invalid slots give zero features). Detections are in
-    letterboxed-frame pixels.
+) -> Tuple[Detections, Detections]:
+    """Front half of the fused program: frames → (all Detections,
+    top-K Detections selected for embedding).
 
     valid_cap is a BENCHMARK control: when set, exactly the first
     `valid_cap` of the K embed slots are treated as occupied, regardless
@@ -69,6 +65,29 @@ def frames_to_features(
         scores=dets.scores[:, :k],
         kps=dets.kps[:, :k],
         valid=valid_k,
+    )
+    return dets, top
+
+
+def frames_to_features(
+    det_params,
+    arc_params,
+    frames_u8: jnp.ndarray,
+    cfg: PipelineConfig,
+    max_faces_embed: int = 8,
+    compute_dtype=None,
+    valid_cap: int = None,
+) -> Tuple[Detections, jnp.ndarray]:
+    """(B, S, S, 3) letterboxed BGR frames → (Detections, (B, K, 512)).
+
+    K = max_faces_embed top-scoring faces per frame are aligned and
+    embedded (invalid slots give zero features). Detections are in
+    letterboxed-frame pixels. See detect_topk for the valid_cap bench
+    control.
+    """
+    dtype = jnp.dtype(cfg.compute_dtype) if compute_dtype is None else compute_dtype
+    dets, top = detect_topk(
+        det_params, frames_u8, cfg, max_faces_embed, dtype, valid_cap
     )
 
     # normalized=True fuses (px-mean)/scale + BGR→RGB + bf16 cast into

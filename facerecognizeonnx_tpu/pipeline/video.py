@@ -36,15 +36,33 @@ class VideoPipeline:
         cfg: PipelineConfig = PipelineConfig(),
         batch: int = 4,
         max_faces_embed: int = 8,
+        adaptive_embed: bool = False,
     ):
+        """adaptive_embed=True swaps the dense fused program for the
+        occupancy-adaptive bucketed pipeline (pipeline/bucketed.py):
+        embed cost tracks the number of DETECTED faces instead of
+        paying all K slots every micro-batch — the right choice for
+        real streams, where most of the K=8 slots are empty (the
+        reference embeds only detected faces, src/main.cpp:226).
+        Features are exactly equal either way."""
         self.cfg = cfg
         self.batch = batch
         self.max_faces_embed = max_faces_embed
-        self._program = jax.jit(
-            lambda frames: frames_to_features(
-                det_params, arc_params, frames, cfg, max_faces_embed
+        if adaptive_embed:
+            from facerecognizeonnx_tpu.pipeline.bucketed import (
+                BucketedEmbedPipeline,
             )
-        )
+
+            bucketed = BucketedEmbedPipeline(
+                det_params, arc_params, cfg, max_faces_embed
+            )
+            self._program = lambda frames: bucketed(frames)[:2]
+        else:
+            self._program = jax.jit(
+                lambda frames: frames_to_features(
+                    det_params, arc_params, frames, cfg, max_faces_embed
+                )
+            )
         self.counter = Counter("frames")
 
     def _letterboxed_frames(self, frame_iter) -> Iterator:
