@@ -69,7 +69,8 @@ def test_final_line_is_compact_and_parseable(capsys):
         "device": "TPU v5 lite0",
     }
     order = ["headline", "headline_mbf", "headline_q8", "headline_onnx",
-             "headline_occ", "latency", "enroll", "gallery", "video"]
+             "headline_occ", "headline_occ_adaptive", "latency", "enroll",
+             "gallery", "video"]
     results = {
         name: {
             "metric": f"a metric string for {name} that is quite long",
