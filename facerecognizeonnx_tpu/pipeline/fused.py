@@ -119,6 +119,7 @@ def frames_to_matches(
     max_faces_embed: int = 8,
     top_k: int = 5,
     compute_dtype=None,
+    valid_cap: int = None,
 ):
     """ONE-dispatch identify: frames → features → gallery top-k, fused.
 
@@ -148,7 +149,7 @@ def frames_to_matches(
 
     dets, feats = frames_to_features(
         det_params, arc_params, frames_u8, cfg, max_faces_embed,
-        compute_dtype,
+        compute_dtype, valid_cap,
     )
     b, k, d = feats.shape
     sims = similarity_matrix(feats.reshape(b * k, d), bank_padded)

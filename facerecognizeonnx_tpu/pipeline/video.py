@@ -44,7 +44,12 @@ class VideoPipeline:
         paying all K slots every micro-batch — the right choice for
         real streams, where most of the K=8 slots are empty (the
         reference embeds only detected faces, src/main.cpp:226).
-        Features are exactly equal either way."""
+        Features match the dense program within float tolerance
+        (tests/test_bucketed.py). The bucketed two-phase API keeps the
+        double-buffering overlap below intact: its host count fetch
+        happens at materialize time, after the next batch's programs
+        were dispatched; pad-by-repeat frames in a partial final batch
+        are excluded from its occupancy speculation."""
         self.cfg = cfg
         self.batch = batch
         self.max_faces_embed = max_faces_embed
@@ -56,13 +61,18 @@ class VideoPipeline:
             bucketed = BucketedEmbedPipeline(
                 det_params, arc_params, cfg, max_faces_embed
             )
-            self._program = lambda frames: bucketed(frames)[:2]
+            self._start = lambda frames, n_real: bucketed.start(
+                frames, n_frames=n_real
+            )
+            self._finish = lambda pend: bucketed.finish(pend)[:2]
         else:
-            self._program = jax.jit(
+            program = jax.jit(
                 lambda frames: frames_to_features(
                     det_params, arc_params, frames, cfg, max_faces_embed
                 )
             )
+            self._start = lambda frames, n_real: program(frames)
+            self._finish = lambda out: out
         self.counter = Counter("frames")
 
     def _letterboxed_frames(self, frame_iter) -> Iterator:
@@ -102,7 +112,9 @@ class VideoPipeline:
         # dispatched BEFORE batch N's results are materialized to host,
         # so TPU compute overlaps host-side postprocess/labeling (the
         # device-level analog of the PrefetchLoader's host thread).
-        pending = None  # (device (dets, feats), batch_len, scales)
+        # The adaptive path's host sync + exact correction live in
+        # _finish, called at materialize time — dispatch stays sync-free.
+        pending = None  # (start() handle, batch_len, scales)
 
         def dispatch():
             nonlocal pending
@@ -110,7 +122,7 @@ class VideoPipeline:
                 return None
             frames = np.stack(buf + [buf[-1]] * (self.batch - len(buf)))
             with self.counter.event(items=len(buf)):
-                out = self._program(jnp.asarray(frames))
+                out = self._start(jnp.asarray(frames), len(buf))
             prev, pending = pending, (out, len(buf), list(scales))
             buf.clear()
             scales.clear()
@@ -120,7 +132,8 @@ class VideoPipeline:
             nonlocal n_out
             if entry is None:
                 return
-            (dets, feats), n, batch_scales = entry
+            handle, n, batch_scales = entry
+            dets, feats = self._finish(handle)
             feats = np.asarray(feats)
             dets = jax.tree_util.tree_map(np.asarray, dets)
             for i in range(n):

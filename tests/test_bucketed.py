@@ -104,12 +104,13 @@ def test_parity_without_skip_invalid(setup):
 
 def test_compaction_is_valid_first_stable(setup):
     cfg, det, arc, frames = setup
-    dets, crops_c, perm, valid_flat, n_valid = jax.jit(
+    dets, crops_c, perm, valid_flat, counts = jax.jit(
         lambda v: detect_and_compact(det, v, cfg, K, valid_cap=1)
     )(frames)
     perm = np.asarray(perm)
     valid = np.asarray(valid_flat)
-    n = int(n_valid)
+    np.testing.assert_array_equal(np.asarray(counts), [1, 1])  # per-frame
+    n = int(np.asarray(counts).sum())
     assert n == frames.shape[0]  # 1 per frame
     # the first n entries of perm point at the valid slots, in order
     assert valid[perm[:n]].all()
@@ -127,7 +128,7 @@ def test_speculation_correction_is_exact(setup):
     pipe = BucketedEmbedPipeline(
         det, arc, cfg, max_faces_embed=K, buckets=[2, 4, 8], valid_cap=3
     )
-    pipe._last_n = 1  # force a bucket-2 speculation for 6 valid faces
+    pipe._last_rate = 1.0  # force a bucket-2 speculation for 6 valid faces
     _, feats_b, n = pipe(frames)
     assert n == 6
     assert pipe.corrections == 1
@@ -147,7 +148,7 @@ def test_zero_faces_returns_zero_features(setup):
     pipe = BucketedEmbedPipeline(
         det, arc, cfg, max_faces_embed=K, buckets=[2, 4, 8], valid_cap=0
     )
-    pipe._last_n = 0  # steady zero-occupancy: embed never runs
+    pipe._last_rate = 0.0  # steady zero-occupancy: embed never runs
     _, feats, n = pipe(frames)
     assert n == 0
     assert pipe.corrections == 0
@@ -186,7 +187,7 @@ def test_embed_compacted_masks_bucket_overhang(setup):
     """bucket > n_valid embeds some zero crops; their (nonzero) network
     outputs must be masked back to zero by the valid mask."""
     cfg, det, arc, frames = setup
-    dets, crops_c, perm, valid_flat, n_valid = jax.jit(
+    dets, crops_c, perm, valid_flat, counts = jax.jit(
         lambda v: detect_and_compact(det, v, cfg, K, valid_cap=1)
     )(frames)
     feats = jax.jit(
@@ -197,3 +198,142 @@ def test_embed_compacted_masks_bucket_overhang(setup):
     assert np.abs(feats[~valid]).max() == 0.0
     norms = np.linalg.norm(feats[valid], axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_pad_frames_excluded_from_occupancy(setup):
+    """start(n_frames=1): the pad frame's valid slots don't count toward
+    n_valid or the speculation rate, and real-frame features are still
+    exact (pads stack last in the compaction)."""
+    cfg, det, arc, frames = setup
+    _, feats_d = _dense(cfg, det, arc, frames, valid_cap=2)
+    pipe = BucketedEmbedPipeline(
+        det, arc, cfg, max_faces_embed=K, buckets=[2, 4, 8], valid_cap=2
+    )
+    # frame 1 is a "pad" copy: only frame 0's 2 valid slots are real
+    dets, feats, n = pipe.finish(pipe.start(frames, n_frames=1))
+    assert n == 2
+    assert pipe._last_rate == 2.0
+    np.testing.assert_allclose(
+        np.asarray(feats)[0], np.asarray(feats_d)[0], atol=1e-5
+    )
+    # next full batch speculates from the REAL per-frame rate: 2 faces x
+    # 2 frames -> bucket 4, corrected only if short (it isn't: 4 valid)
+    _, feats2, n2 = pipe(frames)
+    assert n2 == 4 and pipe.corrections == 0
+    np.testing.assert_allclose(np.asarray(feats2), np.asarray(feats_d), atol=1e-5)
+
+
+def test_zero_guess_then_faces_is_not_a_correction(setup):
+    """Faces appearing after a zero-occupancy step re-run the embed but
+    do NOT count as a correction (no speculative embed was discarded)."""
+    cfg, det, arc, frames = setup
+    pipe = BucketedEmbedPipeline(
+        det, arc, cfg, max_faces_embed=K, buckets=[2, 4, 8], valid_cap=1
+    )
+    pipe._last_rate = 0.0  # previous step saw no faces -> guess 0
+    _, feats, n = pipe(frames)
+    assert n == 2
+    assert pipe.corrections == 0  # embed ran, nothing was discarded
+    _, feats_d = _dense(cfg, det, arc, frames, valid_cap=1)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(feats_d), atol=1e-5)
+
+
+def test_fused_search_matches_dense_matches(setup):
+    """search_top_k: program B fuses the gallery top-k and matches the
+    dense frames_to_matches on valid slots (sims and indices)."""
+    from facerecognizeonnx_tpu.pipeline.fused import frames_to_matches
+
+    cfg, det, arc, frames = setup
+    r = np.random.default_rng(3)
+    bank = r.normal(size=(16, 512)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    bank_pad = jnp.asarray(np.concatenate([bank, np.zeros((16, 512), np.float32)]))
+    n_rows = jnp.int32(16)
+
+    dets_d, feats_d, sims_d, idx_d = jax.jit(
+        lambda v, b, n: frames_to_matches(
+            det, arc, v, b, n, cfg, max_faces_embed=K, top_k=3, valid_cap=2
+        )
+    )(frames, bank_pad, n_rows)
+
+    pipe = BucketedEmbedPipeline(
+        det, arc, cfg, max_faces_embed=K, buckets=[2, 4, 8], valid_cap=2,
+        search_top_k=3,
+    )
+    dets_b, feats_b, sims_b, idx_b, n = pipe(frames, bank_pad, n_rows)
+    assert n == 4
+    valid = np.asarray(dets_d.valid)[:, :K]
+    np.testing.assert_allclose(
+        np.asarray(feats_b), np.asarray(feats_d), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(idx_b)[valid], np.asarray(idx_d)[valid]
+    )
+    np.testing.assert_allclose(
+        np.asarray(sims_b)[valid], np.asarray(sims_d)[valid], atol=1e-5
+    )
+    # bank omission / unexpected bank both rejected
+    with pytest.raises(ValueError):
+        pipe.start(frames)
+    with pytest.raises(ValueError):
+        BucketedEmbedPipeline(det, arc, cfg, max_faces_embed=K).start(
+            frames, bank_padded=bank_pad, n_rows=16
+        )
+
+
+def test_mesh_dp_matches_single_device(setup):
+    """mesh: both programs run SPMD over a 2-device data axis; features
+    and counts match the single-device bucketed path (and hence the
+    dense program). The bucket covers the most-occupied shard."""
+    from facerecognizeonnx_tpu.parallel.mesh import make_mesh
+
+    cfg, det, arc, frames = setup
+    mesh = make_mesh(("data",), devices=jax.devices()[:2])
+    _, feats_d = _dense(cfg, det, arc, frames, valid_cap=3)
+    pipe = BucketedEmbedPipeline(
+        det, arc, cfg, max_faces_embed=K, buckets=[2, 4], valid_cap=3,
+        mesh=mesh,
+    )
+    dets, feats, n = pipe(frames)
+    assert n == 6
+    assert pipe.last_bucket == 4  # per-shard bucket covers 3 local faces
+    # 1e-4: shard_map compiles with different XLA fusion choices than
+    # the single-device program (same band as test_dp_service_matches)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(feats_d), atol=1e-4)
+
+    # fused search composes with the mesh (bank replicated)
+    r = np.random.default_rng(5)
+    bank = r.normal(size=(8, 512)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    bank_pad = jnp.asarray(bank)
+    pipe_f = BucketedEmbedPipeline(
+        det, arc, cfg, max_faces_embed=K, buckets=[2, 4], valid_cap=3,
+        search_top_k=2, mesh=mesh,
+    )
+    _, feats_f, sims_f, idx_f, n_f = pipe_f(frames, bank_pad, jnp.int32(8))
+    assert n_f == 6
+    np.testing.assert_allclose(
+        np.asarray(feats_f), np.asarray(feats_d), atol=1e-4
+    )
+    want = (np.asarray(feats_d).reshape(-1, 512) @ bank.T + 1.0) * 0.5
+    order = np.argsort(-want, axis=1)[:, :2]
+    np.testing.assert_array_equal(
+        np.asarray(idx_f).reshape(-1, 2), order
+    )
+
+
+def test_two_phase_overlap(setup):
+    """start() must not block on the host count: a second start() can be
+    issued before the first finish(), and both resolve exactly."""
+    cfg, det, arc, frames = setup
+    _, feats_d = _dense(cfg, det, arc, frames, valid_cap=2)
+    pipe = BucketedEmbedPipeline(
+        det, arc, cfg, max_faces_embed=K, buckets=[2, 4, 8], valid_cap=2
+    )
+    h1 = pipe.start(frames)
+    h2 = pipe.start(frames)  # in flight together (double buffering)
+    _, f1, n1 = pipe.finish(h1)
+    _, f2, n2 = pipe.finish(h2)
+    assert n1 == n2 == 4
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(feats_d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(feats_d), atol=1e-5)
