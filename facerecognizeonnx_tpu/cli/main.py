@@ -340,7 +340,8 @@ def _webcam_tracked(args, detector, recognizer, cap):
                 break
 
     pipe = TrackingVideoPipeline(
-        detector.params, recognizer.params, detector.cfg, batch=4
+        detector.params, recognizer.params, detector.cfg, batch=4,
+        adaptive_embed=getattr(args, "adaptive_embed", False),
     )
     n_frames, t0 = 0, time.time()
     for _idx, dets, tracks in pipe.run(
@@ -525,6 +526,7 @@ def mode_serve(args):
         auth_token=args.auth_token, sharded=args.sharded, aot=args.aot,
         mesh=dp if dp > 1 else None,
         fuse_search=getattr(args, "fuse_search", False),
+        adaptive_embed=getattr(args, "adaptive_embed", False),
     )
     if args.aot:
         print(f"identify 热路径使用 AOT 程序包: {args.aot}")
@@ -532,6 +534,8 @@ def mode_serve(args):
         print(f"identify 数据并行: {dp} 设备")
     if getattr(args, "fuse_search", False):
         print("identify 单次调度: gallery top-k 已融合进设备程序")
+    if getattr(args, "adaptive_embed", False):
+        print("identify 自适应嵌入: embed 开销随检测到的人脸数伸缩")
     host, port = server.server_address[:2]
     print(f"服务已启动: http://{host}:{port}  (gallery: {len(bank)} 条)")
 
@@ -1201,6 +1205,16 @@ def main(argv=None):
         "micro-batch instead of two; composes with --dp, excludes "
         "--sharded/--aot; requests asking for more than 5 matches fall "
         "back to the host-side search so results never shrink)",
+    )
+    parser.add_argument(
+        "--adaptive-embed",
+        action="store_true",
+        help="serve/webcam --track: occupancy-adaptive bucketed embed — "
+        "the embed stage packs DETECTED faces into a power-of-two "
+        "bucket sized by recent occupancy, so embed cost tracks real "
+        "faces instead of paying all max-faces slots per frame (1.7x+ "
+        "at 2/8 occupancy; composes with --fuse-search/--dp/--sharded, "
+        "excludes --aot)",
     )
     parser.add_argument(
         "--quant",

@@ -321,6 +321,7 @@ def make_server(
     aot=None,
     mesh=None,
     fuse_search: bool = False,
+    adaptive_embed: bool = False,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -338,12 +339,15 @@ def make_server(
     the gallery-search program on the first non-empty identify).
     mesh: a jax.sharding.Mesh or device count for data-parallel serving;
     fuse_search: one-dispatch identify with the gallery top-k fused into
-    the device program (see IdentifyService).
+    the device program; adaptive_embed: occupancy-adaptive bucketed
+    embed — serving cost tracks detected faces, not max_faces slots
+    (see IdentifyService).
     """
     service = IdentifyService(
         detector.params, recognizer.params, bank, cfg=detector.cfg,
         max_batch=max_batch, batch_window_ms=batch_window_ms,
         sharded=sharded, aot=aot, mesh=mesh, fuse_search=fuse_search,
+        adaptive_embed=adaptive_embed,
     )
     if warmup:
         service.identify(

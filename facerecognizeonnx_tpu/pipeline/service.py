@@ -63,6 +63,8 @@ class IdentifyService:
         mesh_axis: str = "data",
         fuse_search: bool = False,
         search_top_k: int = 5,
+        adaptive_embed: bool = False,
+        valid_cap: int = None,
     ):
         """aot: a pipeline.aot.AotPipeline (or .frtz path) to use as the
         fused program instead of tracing det_params/arc_params — the
@@ -95,7 +97,27 @@ class IdentifyService:
         mesh (dp + fused search in one SPMD
         program, bank replicated); exclusive with sharded (which
         spreads gallery rows instead) and aot (bundles bake the
-        feature program only)."""
+        feature program only).
+
+        adaptive_embed: serve through the occupancy-adaptive bucketed
+        pipeline (pipeline/bucketed.py, `serve --adaptive-embed`)
+        instead of the dense fused program: the embed stage packs the
+        DETECTED faces of the micro-batch into a power-of-two bucket
+        sized by recent occupancy, so serving cost tracks real faces
+        instead of paying all max_faces slots per frame — 1.7x+ at the
+        production 2/8 occupancy point (docs/PERFORMANCE.md). Results
+        are identical to the dense service within float tolerance
+        (tests/test_service.py parity). Composes with fuse_search (the
+        gallery top-k fuses into the bucketed embed program), with mesh
+        (both programs run SPMD over the data axis), and with sharded
+        (host-side row-sharded search); exclusive with aot (bundles
+        bake the dense program). Pad-by-repeat frames in a partial
+        micro-batch are excluded from its occupancy speculation.
+
+        valid_cap: BENCHMARK control (see pipeline/fused.detect_topk) —
+        forces per-frame embed-slot occupancy so synthetic load tests
+        measure a known operating point. Leave None in production;
+        unsupported with aot."""
         if fuse_search and (sharded or aot is not None):
             raise ValueError(
                 "fuse_search composes with mesh dp, but not with "
@@ -107,6 +129,11 @@ class IdentifyService:
                 "aot and mesh are mutually exclusive: .frtz bundles are "
                 "single-device programs (export per-chip and load-balance "
                 "above the service instead)"
+            )
+        if aot is not None and (adaptive_embed or valid_cap is not None):
+            raise ValueError(
+                "adaptive_embed/valid_cap need traced programs; .frtz "
+                "bundles bake the dense program (re-export without aot)"
             )
         if isinstance(aot, str):
             from facerecognizeonnx_tpu.pipeline.aot import load_bundle
@@ -134,15 +161,38 @@ class IdentifyService:
         self.mesh = mesh
         self.fuse_search = fuse_search
         self.search_top_k = search_top_k
+        self.adaptive = adaptive_embed
         # the replicated-bank device sharding for the fused search (the
         # padded bank caches per (bucket, sharding) in the store)
         self._bank_sharding = None
-        if mesh is not None:
+        if adaptive_embed:
+            from facerecognizeonnx_tpu.pipeline.bucketed import (
+                BucketedEmbedPipeline,
+            )
+
+            if mesh is not None and fuse_search:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                self._bank_sharding = NamedSharding(mesh, PartitionSpec())
+            self._bucketed = BucketedEmbedPipeline(
+                det_params, arc_params, cfg,
+                max_faces_embed=max_faces,
+                valid_cap=valid_cap,
+                search_top_k=search_top_k if fuse_search else None,
+                mesh=mesh, mesh_axis=mesh_axis,
+            )
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
             from facerecognizeonnx_tpu.parallel.sharded_ops import (
                 make_dp_program,
             )
+
+            if valid_cap is not None:
+                raise ValueError(
+                    "valid_cap (bench control) supports the single-device "
+                    "traced paths and adaptive_embed only"
+                )
 
             program, _ = make_dp_program(
                 det_params, arc_params, cfg, mesh=mesh, axis=mesh_axis,
@@ -174,13 +224,14 @@ class IdentifyService:
             self._fused = jax.jit(
                 lambda frames, bank, n: frames_to_matches(
                     det_params, arc_params, frames, bank, n, cfg,
-                    max_faces, search_top_k,
+                    max_faces, search_top_k, valid_cap=valid_cap,
                 )
             )
         else:
             self._program = jax.jit(
                 lambda frames: frames_to_features(
-                    det_params, arc_params, frames, cfg, max_faces
+                    det_params, arc_params, frames, cfg, max_faces,
+                    valid_cap=valid_cap,
                 )
             )
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
@@ -291,13 +342,33 @@ class IdentifyService:
             bank_dev, n_rows, names_snap = self.bank.device_bank_padded(
                 sharding=self._bank_sharding
             )
-            dets, feats, f_sims, f_idx = self._fused(
-                jnp.asarray(stacked), bank_dev, jnp.int32(n_rows)
-            )
+            if self.adaptive:
+                dets, feats, f_sims, f_idx, _n = self._bucketed.finish(
+                    self._bucketed.start(
+                        stacked, n_frames=len(batch),
+                        bank_padded=bank_dev, n_rows=n_rows,
+                    )
+                )
+            else:
+                dets, feats, f_sims, f_idx = self._fused(
+                    jnp.asarray(stacked), bank_dev, jnp.int32(n_rows)
+                )
             f_sims, f_idx = np.asarray(f_sims), np.asarray(f_idx)
+        elif self.adaptive:
+            dets, feats, _n = self._bucketed.finish(
+                self._bucketed.start(stacked, n_frames=len(batch))
+            )
         else:
             dets, feats = self._program(jnp.asarray(stacked))
-        feats = np.asarray(feats)
+        # fused serving doesn't need the (B, K, 512) feature block on
+        # host unless some request asked for MORE matches than the baked
+        # top-k — skip the transfer otherwise (16 KB/frame, material on
+        # tunneled/remote-device hosts)
+        if not fused or (
+            len(self.bank)
+            and any(r.top_k > self.search_top_k for r in batch)
+        ):
+            feats = np.asarray(feats)
         dets = jax.tree_util.tree_map(np.asarray, dets)
         self._batches_run += 1
         for i, req in enumerate(batch):

@@ -154,7 +154,16 @@ class TrackingVideoPipeline:
         iou_threshold: float = 0.3,
         max_misses: int = 5,
         feat_momentum: float = 0.9,
+        adaptive_embed: bool = False,
     ):
+        """adaptive_embed=True runs the refresh frames through the
+        occupancy-adaptive bucketed pipeline (pipeline/bucketed.py)
+        instead of the dense fused program. Refresh frames are EXACTLY
+        the low-occupancy case the bucketed path exists for: a refresh
+        batch typically carries 1-2 stale tracks out of K=8 slots, so
+        the dense program would pay batch*K embeds for a handful of
+        faces. Features (and hence labels) match the dense refresh
+        within float tolerance (tests/test_track.py)."""
         import jax
 
         from facerecognizeonnx_tpu.config import PipelineConfig
@@ -170,11 +179,29 @@ class TrackingVideoPipeline:
         self._detect = jax.jit(
             lambda frames: detect_batch_program(det_params, frames, self.cfg)
         )
-        self._fused = jax.jit(
-            lambda frames: frames_to_features(
-                det_params, arc_params, frames, self.cfg, max_faces_embed
+        if adaptive_embed:
+            from facerecognizeonnx_tpu.pipeline.bucketed import (
+                BucketedEmbedPipeline,
             )
-        )
+
+            self.bucketed = BucketedEmbedPipeline(
+                det_params, arc_params, self.cfg, max_faces_embed
+            )
+
+            def embed_feats(frames, n_real):
+                return self.bucketed.finish(
+                    self.bucketed.start(frames, n_frames=n_real)
+                )[1]
+
+            self._embed_feats = embed_feats
+        else:
+            self.bucketed = None
+            fused = jax.jit(
+                lambda frames: frames_to_features(
+                    det_params, arc_params, frames, self.cfg, max_faces_embed
+                )
+            )
+            self._embed_feats = lambda frames, n_real: fused(frames)[1]
         self.total_frames = 0
         self.embed_frames = 0
 
@@ -258,10 +285,14 @@ class TrackingVideoPipeline:
                     for t in slots
                 ):
                     need_embed.append(i)
-            # fused re-run ONLY for frames with stale/new tracks
+            # fused re-run ONLY for frames with stale/new tracks (the
+            # adaptive path embeds just those frames' DETECTED faces;
+            # pad-by-repeat rows are excluded from its speculation)
             if need_embed:
                 sel = need_embed + [need_embed[-1]] * (self.batch - len(need_embed))
-                _, feats = self._fused(dev[np.asarray(sel)])
+                feats = self._embed_feats(
+                    dev[np.asarray(sel)], len(need_embed)
+                )
                 feats = np.asarray(feats)
                 for row, i in enumerate(need_embed):
                     for slot, t in enumerate(per_frame_tracks[i]):
@@ -323,7 +354,7 @@ class TrackingVideoPipeline:
         yield from flush()
 
     def stats(self):
-        return {
+        out = {
             "total_frames": self.total_frames,
             "embed_frames": self.embed_frames,
             "embed_fraction": (
@@ -331,3 +362,7 @@ class TrackingVideoPipeline:
             ),
             "active_tracks": len(self.tracker.tracks),
         }
+        if self.bucketed is not None:
+            out["embed_bucket"] = self.bucketed.last_bucket
+            out["embed_corrections"] = self.bucketed.corrections
+        return out
