@@ -26,11 +26,16 @@ programs), not inside one XLA program.
 
 Routing contract: `expert_ids` is any int array the caller computed —
 a learned gate, a quality score, or the landmark-geometry router below
-(`route_by_yaw`). Faces beyond an expert's capacity (or with id outside
-[0, E)) are NOT embedded; their feature rows return zero and their
-`routed` flag is False, mirroring the reference's empty-feature failure
-contract (src/face_recognizer.cpp:254-257) — the caller re-runs
-leftovers or falls back to a default model.
+(`route_by_yaw`). Within ONE program step, faces beyond an expert's
+capacity (or with id outside [0, E)) are NOT embedded; their feature
+rows return zero and their `routed` flag is False, mirroring the
+reference's empty-feature failure contract
+(src/face_recognizer.cpp:254-257). `ep_embed_crops` implements the
+overflow recovery on top (default overflow="rerun"): leftovers are
+compacted and re-run through the SAME compiled program until every
+valid-id face carries its expert's feature — a routing spike costs
+extra passes, never wrong/empty features. Faces with ids outside
+[0, E) are a caller error and stay routed=False.
 """
 
 from __future__ import annotations
@@ -242,15 +247,28 @@ def ep_embed_crops(
     axis: str = "expert",
     data_axis: Optional[str] = None,
     capacity_factor: float = 1.25,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    overflow: str = "rerun",
+) -> Tuple[np.ndarray, np.ndarray]:
     """One-shot convenience: route B crops across E specialist
     recognizers sharded over the mesh's expert axis.
 
-    Returns ((B, 512) features, (B,) routed). Rows with routed=False
-    (capacity overflow / invalid id) are zero — re-run them or fall
-    back to a default model. Pads B to the batch-shard multiple; padded
-    rows carry id −1 so they consume no expert capacity.
+    Returns ((B, 512) features, (B,) routed), both host numpy.
+
+    overflow="rerun" (default): capacity-overflowed faces are compacted
+    and re-run through the SAME compiled program — each pass routes at
+    least `capacity` more faces per (shard, expert), so a skewed
+    routing converges in a few passes and every valid-id face ends up
+    with its expert's exact feature (routed all-True unless ids are
+    invalid). A pass that makes no progress stops the loop defensively.
+    overflow="drop": single-pass semantics — overflowed rows stay zero
+    with routed=False (the reference's empty-feature failure contract,
+    src/face_recognizer.cpp:254-257; callers handle leftovers
+    themselves). Rows with ids outside [0, E) never route under either
+    policy. Pads B to the batch-shard multiple; padded rows carry id −1
+    so they consume no expert capacity.
     """
+    if overflow not in ("rerun", "drop"):
+        raise ValueError(f"overflow must be 'rerun' or 'drop', got {overflow!r}")
     stacked, E = stack_experts(params_list)
     if mesh is None:
         mesh = make_mesh((axis,))
@@ -268,4 +286,24 @@ def ep_embed_crops(
         local_batch=crops_host.shape[0] // n_shards,
     )
     feats, routed = program(crops_host, ids_host)
+    # np.array (copy): device arrays view as read-only; the rerun loop
+    # scatters into these
+    feats, routed = np.array(feats), np.array(routed)
+    if overflow == "rerun":
+        valid = (ids_host >= 0) & (ids_host < E)
+        while True:
+            left = np.nonzero(valid & ~routed)[0]
+            if len(left) == 0:
+                break
+            sub_crops = np.zeros_like(crops_host)
+            sub_ids = np.full(crops_host.shape[0], -1, np.int32)
+            sub_crops[: len(left)] = crops_host[left]
+            sub_ids[: len(left)] = ids_host[left]
+            f2, r2 = program(sub_crops, sub_ids)  # same compiled program
+            f2 = np.asarray(f2)[: len(left)]
+            r2 = np.asarray(r2)[: len(left)]
+            if not r2.any():  # defensive: cannot happen with capacity ≥ 1
+                break
+            feats[left[r2]] = f2[r2]
+            routed[left[r2]] = True
     return feats[:b_real], routed[:b_real]

@@ -37,6 +37,31 @@ DET_FILE = "det_500m.onnx"
 REC_FILE = "w600k_r50.onnx"
 
 
+def _ort_session(path: str):
+    """onnxruntime CPU session when the package is importable, else
+    None. ORT is the BASELINE.json oracle (the engine the reference
+    itself runs on, reference README.md:21-22); no image so far ships
+    it, but the moment one does this branch upgrades the parity gate
+    from executor-vs-executor (both sharing onnx_import/proto.py, so a
+    common graph-interpretation bug would pass) to a genuinely
+    independent cross-check — for free."""
+    try:
+        import onnxruntime
+    except ImportError:
+        return None
+    try:
+        return onnxruntime.InferenceSession(
+            path, providers=["CPUExecutionProvider"]
+        )
+    except TypeError:  # older ORT without the providers kwarg
+        return onnxruntime.InferenceSession(path)
+
+
+def _ort_run(session, x_nchw: np.ndarray):
+    name = session.get_inputs()[0].name
+    return session.run(None, {name: np.asarray(x_nchw, np.float32)})
+
+
 def find_real_models(
     model_dir: Optional[str] = None,
     det_file: str = DET_FILE,
@@ -114,6 +139,29 @@ def run_real_model_parity(det_path: str, rec_path: str, cfg=None) -> Dict:
     assert max_d < 1e-2, f"fast-vs-reference executor divergence {max_d}"
     report["detector"] = {"input_size": size, "fast_vs_ref_maxdiff": max_d}
 
+    # --- INDEPENDENT oracle when available: onnxruntime CPU (the
+    # engine the reference runs on). The executor-vs-executor check
+    # above shares onnx_import/proto.py on both sides; ORT does not.
+    report["oracle"] = "in-repo NCHW executor"
+    det_sess = _ort_session(det_path)
+    if det_sess is not None:
+        ort_outs = _ort_run(
+            det_sess, np.transpose(np.asarray(x), (0, 3, 1, 2))
+        )
+        ort_heads = fast._classify_scrfd(
+            [jnp.asarray(o) for o in ort_outs], size
+        )
+        assert set(ort_heads) == {8, 16, 32}, sorted(ort_heads)
+        ort_d = 0.0
+        for s in got:
+            for gi, oi in zip(got[s], ort_heads[s]):
+                ort_d = max(
+                    ort_d, float(np.abs(np.asarray(gi) - np.asarray(oi)).max())
+                )
+        assert ort_d < 1e-2, f"fast-executor-vs-onnxruntime divergence {ort_d}"
+        report["oracle"] = "onnxruntime"
+        report["detector"]["fast_vs_ort_maxdiff"] = ort_d
+
     # --- detector through the product API, deterministic end-to-end
     det = FaceDetector(cfg)
     assert det.load_model(det_path) is True, "FaceDetector.load_model failed"
@@ -167,4 +215,17 @@ def run_real_model_parity(det_path: str, rec_path: str, cfg=None) -> Dict:
         "cross_sim": round(cross_sim, 4),
         "exec_cosine": cos,
     }
+
+    # --- served feature vs the onnxruntime oracle (independent path)
+    rec_sess = _ort_session(rec_path)
+    if rec_sess is not None:
+        ort_feat = np.asarray(
+            _ort_run(rec_sess, np.transpose(xr[None], (0, 3, 1, 2)))[0]
+        ).reshape(-1)
+        ort_feat = ort_feat / max(float(np.linalg.norm(ort_feat)), 1e-12)
+        ort_cos = float((f1 * ort_feat).sum())
+        assert ort_cos > 1.0 - COSINE_TOL, (
+            f"served-vs-onnxruntime cosine {ort_cos} below {1.0 - COSINE_TOL}"
+        )
+        report["recognizer"]["ort_cosine"] = ort_cos
     return report

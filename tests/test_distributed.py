@@ -30,22 +30,26 @@ _CHILD = textwrap.dedent(
     from jax.experimental import multihost_utils
     from facerecognizeonnx_tpu.parallel.mesh import make_mesh
 
-    assert jax.device_count() == 4 and jax.local_device_count() == 2
-    mesh = make_mesh(("model",), (4,))  # spans BOTH processes
-    assert len(set(d.process_index for d in mesh.devices.flat)) == 2
-    # cross-process collective: every process sees both contributions
+    NPROC = int(os.environ["NUM_PROCESSES"])
+    NDEV = 2 * NPROC
+    assert jax.device_count() == NDEV and jax.local_device_count() == 2
+    mesh = make_mesh(("model",), (NDEV,))  # spans ALL processes
+    assert len(set(d.process_index for d in mesh.devices.flat)) == NPROC
+    # cross-process collective: every process sees every contribution
     got = multihost_utils.process_allgather(
         jnp.asarray([float(jax.process_index())])
     )
-    np.testing.assert_allclose(np.asarray(got).ravel(), [0.0, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(got).ravel(), np.arange(NPROC, dtype=np.float64)
+    )
 
     # THE multi-host gallery story (SURVEY.md par.5): gallery rows sharded
-    # over a mesh that spans both processes, local top-k + candidate
-    # all-gather crossing the process boundary (DCN in production, TCP
+    # over a mesh that spans all processes, local top-k + candidate
+    # all-gather crossing the process boundaries (DCN in production, TCP
     # here), identical final top-k on every host.
     from facerecognizeonnx_tpu.parallel.sharded_ops import sharded_topk_search
 
-    rng = np.random.default_rng(0)  # same seed -> same gallery on both hosts
+    rng = np.random.default_rng(0)  # same seed -> same gallery on all hosts
     gallery = rng.normal(size=(257, 64)).astype(np.float32)
     gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
     queries = gallery[:8]
@@ -60,6 +64,35 @@ _CHILD = textwrap.dedent(
         np.sort(full, axis=1)[:, -3:][:, ::-1],
         atol=1e-5,
     )
+
+    # dp batched embed across the process-spanning mesh: the enrollment
+    # data-parallel program (parallel/sharded_ops.sharded_batch_embed)
+    # with the crop batch sharded over every device of every process;
+    # each host checks ITS addressable shards against a local oracle.
+    from facerecognizeonnx_tpu.config import PipelineConfig
+    from facerecognizeonnx_tpu.embed.pipeline import embed_crops
+    from facerecognizeonnx_tpu.models import arcface
+    from facerecognizeonnx_tpu.parallel.sharded_ops import sharded_batch_embed
+
+    cfg32 = PipelineConfig(compute_dtype="float32", rec_input_size=32)
+    params = arcface.init_params(  # same seed -> same weights everywhere
+        jax.random.PRNGKey(2), arch="iresnet18", input_size=32
+    )
+    crops = rng.integers(0, 256, (2 * NDEV, 32, 32, 3)).astype(np.uint8)
+    dmesh = make_mesh(("data",), (NDEV,))
+    feats = sharded_batch_embed(params, crops, cfg32, mesh=dmesh)
+    want = np.asarray(
+        jax.jit(lambda p, c: embed_crops(p, c, cfg32))(
+            params, jnp.asarray(crops)
+        )
+    )
+    checked = 0
+    for shard in feats.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), want[shard.index], atol=2e-4
+        )
+        checked += 1
+    assert checked == jax.local_device_count()
     print(f"OK pid={jax.process_index()} devices={jax.device_count()}")
     """
 ) % (REPO,)
@@ -71,17 +104,22 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
-def test_two_process_distributed_mesh(tmp_path):
+@pytest.mark.timeout(600)
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multi_process_distributed_mesh(tmp_path, nproc):
+    """nproc REAL processes (2 virtual CPU devices each) form one global
+    mesh over localhost Gloo and run the cross-process collective, the
+    row-sharded gallery search, and the dp batched embed. nproc=4 is
+    the widened multi-host proof (VERDICT r4 item 8)."""
     child = tmp_path / "child.py"
     child.write_text(_CHILD)
     port = _free_port()
     procs = []
-    for pid in range(2):
+    for pid in range(nproc):
         env = dict(os.environ)
         env.update(
             COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-            NUM_PROCESSES="2",
+            NUM_PROCESSES=str(nproc),
             PROCESS_ID=str(pid),
             JAX_PLATFORMS="cpu",
         )
@@ -95,10 +133,10 @@ def test_two_process_distributed_mesh(tmp_path):
                 text=True,
             )
         )
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
-        assert f"OK pid={pid} devices=4" in out
+        assert f"OK pid={pid} devices={2 * nproc}" in out
 
 
 def test_env_parsing_and_idempotency(monkeypatch):

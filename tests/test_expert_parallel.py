@@ -96,11 +96,13 @@ def test_dp_x_ep(experts, crops):
 def test_capacity_overflow_drops_visibly(experts, crops):
     # 4 shards x local_batch 2, E=4, cf=1.0 -> capacity ceil(2/4)=1 slot
     # per (shard, expert): both faces of every shard target expert 0, so
-    # exactly one per shard routes and one drops
+    # exactly one per shard routes and one drops (overflow="drop"
+    # pins the single-pass failure contract the rerun builds on)
     mesh = make_mesh(("expert",), (4,), devices=jax.devices()[:4])
     ids = np.zeros(8, np.int64)
     feats, routed = ep_embed_crops(
-        experts, ids, crops, CFG, mesh=mesh, capacity_factor=1.0
+        experts, ids, crops, CFG, mesh=mesh, capacity_factor=1.0,
+        overflow="drop",
     )
     routed = np.asarray(routed)
     feats = np.asarray(feats)
@@ -108,6 +110,45 @@ def test_capacity_overflow_drops_visibly(experts, crops):
     assert (feats[~routed] == 0).all()
     ref = _dense_oracle(experts, ids, crops)
     np.testing.assert_allclose(feats[routed], ref[routed], rtol=1e-5, atol=1e-6)
+
+
+def test_overflow_rerun_completes_all_faces(experts, crops):
+    """overflow='rerun' (default): the same all-to-expert-0 skew that
+    drops half the faces in single-pass mode converges to ALL faces
+    carrying expert 0's exact feature — the overflow contract the r4
+    verdict required implemented, not just documented."""
+    mesh = make_mesh(("expert",), (4,), devices=jax.devices()[:4])
+    ids = np.zeros(8, np.int64)
+    feats, routed = ep_embed_crops(
+        experts, ids, crops, CFG, mesh=mesh, capacity_factor=1.0
+    )
+    assert np.asarray(routed).all()
+    ref = _dense_oracle(experts, ids, crops)
+    assert np.abs(ref).max() > 0  # non-vacuous oracle
+    np.testing.assert_allclose(
+        np.asarray(feats), ref, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_overflow_rerun_keeps_invalid_ids_unrouted(experts, crops):
+    """The rerun loop must not spin on (or fabricate features for)
+    caller-error ids outside [0, E)."""
+    mesh = make_mesh(("expert",), (2,), devices=jax.devices()[:2])
+    ids = np.array([0, -1, 1, 1, 1, 99, 1, 1])  # skew on expert 1 + junk
+    feats, routed = ep_embed_crops(
+        experts[:2], ids, crops, CFG, mesh=mesh, capacity_factor=1.0
+    )
+    routed, feats = np.asarray(routed), np.asarray(feats)
+    ok = (ids >= 0) & (ids < 2)
+    np.testing.assert_array_equal(routed, ok)
+    assert (feats[~ok] == 0).all()
+    np.testing.assert_allclose(
+        feats[ok], _dense_oracle(experts[:2], ids[ok], crops[ok]),
+        rtol=1e-5, atol=1e-6,
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        ep_embed_crops(experts[:2], ids, crops, CFG, mesh=mesh,
+                       overflow="bogus")
 
 
 def test_invalid_ids_never_route(experts, crops):
