@@ -220,12 +220,15 @@ def main():
         choices=[
             "headline", "headline_mbf", "headline_q8", "headline_mbf_q8",
             "headline_onnx", "headline_occ", "headline_occ_adaptive",
-            "latency", "enroll", "gallery", "video", "all", "selftest",
+            "headline_occ_adaptive_mbf", "headline_occ_adaptive_q8",
+            "serve", "latency", "enroll", "gallery", "video", "all",
+            "selftest",
         ],
-        help="BASELINE.json config to run; 'all' (default) runs ten "
+        help="BASELINE.json config to run; 'all' (default) runs twelve "
         "(headline, headline_mbf, headline_q8, headline_onnx, "
-        "headline_occ, headline_occ_adaptive, latency, enroll, gallery, "
-        "video) and reports headline as the top-level metric",
+        "headline_occ, headline_occ_adaptive, headline_occ_adaptive_mbf, "
+        "serve, latency, enroll, gallery, video) and reports headline as "
+        "the top-level metric",
     )
     ap.add_argument(
         "--profile", default=None, metavar="DIR",
@@ -477,6 +480,46 @@ def main():
         )
         return out
 
+    def _mbf_params():
+        from facerecognizeonnx_tpu.models import mobilefacenet as mbf
+
+        return init_on_host(
+            lambda: mbf.fold_inference_params(mbf.init_params(jax.random.PRNGKey(2)))
+        )
+
+    def _q8_recognizer():
+        from facerecognizeonnx_tpu.models import quant
+
+        rng = np.random.default_rng(3)
+        calib = jnp.asarray(
+            (rng.integers(0, 256, (64, 112, 112, 3)).astype(np.float32) - 127.5)
+            / 128.0
+        )
+        qstate = jax.jit(
+            lambda p, c: quant.quantize_recognizer(
+                arcface.apply, p, c, min_channels=128
+            )
+        )(arc_params, calib)
+        return quant.QuantizedRecognizer(arcface.apply, arc_params, qstate)
+
+    def bench_occ_adaptive_mbf():
+        """The production-point composition (VERDICT r4 item 2):
+        occupancy-adaptive bucketed embed x the mbf recognizer at 2/8
+        occupancy — the candidate number of record for crossing the
+        5,000 valid-faces/sec target at the production operating
+        point (adaptive alone 0.73x, mbf alone 1.52x of the dense
+        full-occupancy target)."""
+        return bench_occ_adaptive(
+            args, cfg, det_params, _mbf_params(), log, label=" x mbf"
+        )
+
+    def bench_occ_adaptive_q8():
+        """adaptive x selective-int8 r50 composition at 2/8 occupancy
+        (available by name; the mbf composition is the 'all' config)."""
+        return bench_occ_adaptive(
+            args, cfg, det_params, _q8_recognizer(), log, label=" x int8 r50"
+        )
+
     def headline_resilient():
         """Headline at the default batch 128, falling back to 64 if the
         large-batch program fails (the batch-64 operating point is the
@@ -499,8 +542,11 @@ def main():
         "headline_onnx": bench_headline_onnx,
         "headline_occ": bench_headline_occ,
         "headline_occ_adaptive": lambda: bench_occ_adaptive(
-            args, cfg, det_params, arc_params, log
+            args, cfg, det_params, arc_params, log, stage_split=True
         ),
+        "headline_occ_adaptive_mbf": bench_occ_adaptive_mbf,
+        "headline_occ_adaptive_q8": bench_occ_adaptive_q8,
+        "serve": lambda: bench_serve(args, cfg, det_params, arc_params, log),
         "headline_mbf": bench_headline_mbf,
         "headline_q8": bench_headline_q8,
         "headline_mbf_q8": bench_headline_mbf_q8,
@@ -534,9 +580,14 @@ def main():
     # 7,283 bf16-mbf — at mbf's FLOP count the pipeline is warp+detector
     # bound, so int8 embed moves nothing (it remains the 4x-smaller-
     # weights deployment point).
+    # headline_occ_adaptive_q8 is available by name but NOT in "all":
+    # at the 2/8 bucket the step is detect/warp-bound, so the int8
+    # composition tracks the mbf one without adding information (and
+    # each extra config costs the driver's bench window).
     order = [
         "headline", "headline_mbf", "headline_q8", "headline_onnx",
-        "headline_occ", "headline_occ_adaptive", "latency", "enroll",
+        "headline_occ", "headline_occ_adaptive",
+        "headline_occ_adaptive_mbf", "serve", "latency", "enroll",
         "gallery", "video",
     ]
     results = state["results"]
@@ -650,16 +701,24 @@ def bench_headline(args, cfg, det_params, arc_params, log, valid_cap=None):
     }
 
 
-def bench_occ_adaptive(args, cfg, det_params, arc_params, log):
+def bench_occ_adaptive(args, cfg, det_params, arc_params, log,
+                       label="", stage_split=False):
     """Occupancy-adaptive bucketed embed (pipeline/bucketed.py) at the
     SAME 2/8 operating point as headline_occ. headline_occ's dense
     program still pays the full B*K-crop embed (~half the step) for the
     B*2 real faces; this path compacts valid crops and embeds a
-    power-of-two bucket sized by the PREVIOUS step's count, so embed
-    cost tracks detections (the reference embeds only detected faces,
-    src/main.cpp:226). The per-step int(n_valid) host fetch is part of
+    power-of-two bucket sized by the PREVIOUS step's occupancy rate, so
+    embed cost tracks detections (the reference embeds only detected
+    faces, src/main.cpp:226). The per-step count host fetch is part of
     the design and is inside the timed region — it overlaps program B's
-    device execution, and the honest number must include it."""
+    device execution, and the honest number must include it.
+
+    arc_params may be any recognizer the fused pipeline accepts (the
+    r50 pytree, mbf, or a QuantizedRecognizer) — the composition
+    configs headline_occ_adaptive_{mbf,q8} reuse this runner.
+    stage_split additionally times program A (detect+compact) and
+    program B (bucketed embed) separately so the next bottleneck is
+    named with data (VERDICT r4 item 2)."""
     import dataclasses
 
     import jax
@@ -717,10 +776,10 @@ def bench_occ_adaptive(args, cfg, det_params, arc_params, log):
 
     frames_per_sec = args.batch * args.iters / dt
     faces_per_sec = frames_per_sec * VALID
-    return {
+    out = {
         "metric": (
             "faces/sec/chip end-to-end, 2/8 occupancy "
-            "(adaptive bucketed embed)"
+            f"(adaptive bucketed embed{label})"
         ),
         "value": round(faces_per_sec, 1),
         "unit": "faces/sec",
@@ -730,12 +789,203 @@ def bench_occ_adaptive(args, cfg, det_params, arc_params, log):
             "batch": args.batch,
             "faces_per_frame": FACES_PER_FRAME,
             "valid_faces_per_frame": VALID,
-            "steady_bucket": pipe._pick(
-                pipe._last_n or 0, args.batch * FACES_PER_FRAME
-            ),
+            "steady_bucket": pipe.last_bucket,
             "corrections": pipe.corrections,
             "batch_step_latency": _percentiles(samples),
             "device": str(jax.devices()[0]),
+        },
+    }
+    if stage_split:
+        # name the next bottleneck with data: time program A
+        # (detect+decode+NMS+align+warp+compact) and program B (bucketed
+        # embed at the steady bucket) separately, same chained-input +
+        # host-fetch discipline as every other sub-100ms measurement
+        bucket = max(pipe.last_bucket, 1)
+        pend = pipe.start(frames)
+        crops_c, perm, valid_flat = pend.ops
+        pipe.finish(pend)
+
+        @jax.jit
+        def chain_frames(fr, c):
+            return fr + (jnp.abs(jnp.sum(c)) * 0.0 + 1.0).astype(jnp.uint8)
+
+        @jax.jit
+        def chain_crops(c, f):
+            return c + (jnp.abs(jnp.sum(f)) * 0.0 + 1e-6).astype(c.dtype)
+
+        # program A alone
+        fr = frames
+        _, c0, _, _, cnt = pipe._detect(fr)
+        fr = chain_frames(fr, c0)
+        float(jnp.sum(cnt))
+        t0 = time.time()
+        for _ in range(args.iters):
+            _, c0, _, _, cnt = pipe._detect(fr)
+            fr = chain_frames(fr, c0)
+        float(jnp.sum(cnt))
+        a_ms = (time.time() - t0) * 1000.0 / args.iters
+        # program B alone at the steady bucket
+        cc = crops_c
+        f0 = pipe._embed(bucket, cc, perm, valid_flat)
+        cc = chain_crops(cc, f0)
+        float(jnp.sum(f0))
+        t0 = time.time()
+        for _ in range(args.iters):
+            f0 = pipe._embed(bucket, cc, perm, valid_flat)
+            cc = chain_crops(cc, f0)
+        float(jnp.sum(f0))
+        b_ms = (time.time() - t0) * 1000.0 / args.iters
+        out["detail"]["stage_split_ms"] = {
+            "program_a_detect_compact": round(a_ms, 2),
+            "program_b_embed_bucket": round(b_ms, 2),
+            "bucket": bucket,
+            "note": "per-step wall incl. one tunnel round trip each; "
+            "the composed adaptive step overlaps B with A's count fetch",
+        }
+    return out
+
+
+def bench_serve(args, cfg, det_params, arc_params, log):
+    """In-process serving load bench at the production operating point
+    (VERDICT r4 items 1+4): concurrent synthetic clients through the
+    REAL IdentifyService (micro-batching worker, futures, fused
+    one-dispatch identify vs a 10k gallery, 2/8 forced occupancy),
+    dense vs `--adaptive-embed`, recording qps + enqueue→result
+    percentiles + the coalesced batch size.
+
+    Two layers, deliberately separate (same split as the video config):
+    - e2e qps: every request's pixels cross the host→device link, so on
+      this tunneled host the number is link-bound (~1.2 MB/frame at the
+      probed MB/s) and dense≈adaptive. Honest and annotated.
+    - device serve-shaped A/B: the services' OWN compiled programs
+      (the exact objects `serve` dispatches) driven with device-chained
+      frames — the ratio a PCIe-attached serving host gets.
+    """
+    import dataclasses
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from facerecognizeonnx_tpu.match.gallery import GalleryBank
+    from facerecognizeonnx_tpu.pipeline.service import IdentifyService
+
+    VALID = 2
+    G = 10240
+    cfg_occ = dataclasses.replace(cfg, skip_invalid_faces=True)
+    bank = GalleryBank()
+    rngb = np.random.default_rng(1)
+    g = rngb.normal(size=(G, 512)).astype(np.float32)
+    bank.add_batch([f"p{i}" for i in range(G)], g)
+
+    rng = np.random.default_rng(0)
+    pool = [
+        rng.integers(0, 256, (640, 640, 3), dtype=np.uint8)
+        for _ in range(32)
+    ]
+    h2d_mbps = _probe_h2d_rate_mbps(log)
+    log(f"h2d link probe: {h2d_mbps} MB/s")
+
+    results = {}
+    for name, adaptive in (("dense", False), ("adaptive", True)):
+        svc = IdentifyService(
+            det_params, arc_params, bank, cfg_occ,
+            max_batch=args.batch, batch_window_ms=20.0,
+            fuse_search=True, search_top_k=5,
+            adaptive_embed=adaptive, valid_cap=VALID,
+        )
+        try:
+            t0 = time.time()
+            svc.identify(pool[0], top_k=1, timeout=1800.0)  # compile+warm
+            log(f"serve[{name}] warmup {time.time() - t0:.1f}s")
+
+            # ---- e2e load: closed-loop, in-flight bounded at 2 batches
+            # so p99 measures the service, not an unbounded queue
+            NREQ = args.batch * 6
+            sem = threading.BoundedSemaphore(2 * args.batch)
+            futs = []
+            t0 = time.time()
+            for i in range(NREQ):
+                sem.acquire()
+                fut = svc.identify_async(pool[i % len(pool)], top_k=1)
+                fut.add_done_callback(lambda f: sem.release())
+                futs.append(fut)
+            for f in futs:
+                f.result(timeout=900.0)
+            wall = time.time() - t0
+            st = svc.stats()
+            entry = {
+                "qps_frames": round(NREQ / wall, 1),
+                "qps_valid_faces": round(NREQ * VALID / wall, 1),
+                "latency_ms": st.get("latency_ms"),
+                "avg_batch": round(st["avg_batch"], 1),
+            }
+
+            # ---- device serve-shaped A/B through the service programs
+            frames = jnp.asarray(np.stack(pool[: args.batch]))
+            bank_dev, n_rows, _ = svc.bank.device_bank_padded(
+                sharding=svc._bank_sharding
+            )
+
+            @jax.jit
+            def chain(fr, v):
+                return fr + (jnp.abs(jnp.sum(v)) * 0.0 + 1.0).astype(jnp.uint8)
+
+            if adaptive:
+                def step(fr):
+                    _d, _f, sims, _i, _n = svc._bucketed(fr, bank_dev, n_rows)
+                    return sims
+            else:
+                def step(fr):
+                    _d, _f, sims, _i = svc._fused(
+                        fr, bank_dev, jnp.int32(n_rows)
+                    )
+                    return sims
+            sims = step(frames)
+            frames = chain(frames, sims)
+            float(jnp.sum(sims))
+            t0 = time.time()
+            iters = max(10, args.iters // 2)
+            for _ in range(iters):
+                sims = step(frames)
+                frames = chain(frames, sims)
+            float(jnp.sum(sims))
+            dt = time.time() - t0
+            entry["device_valid_faces_per_sec"] = round(
+                args.batch * VALID * iters / dt, 1
+            )
+            entry["device_step_ms"] = round(dt * 1000.0 / iters, 1)
+            results[name] = entry
+        finally:
+            svc.close()
+
+    dense_dev = results["dense"]["device_valid_faces_per_sec"]
+    adapt_dev = results["adaptive"]["device_valid_faces_per_sec"]
+    best = results["adaptive"]
+    return {
+        "metric": (
+            "serving identify qps, 2/8 occupancy, 10k gallery "
+            "(IdentifyService, fused search, adaptive embed)"
+        ),
+        "value": best["qps_frames"],
+        "unit": "frames/sec",
+        # the e2e number is link-bound on this host; the baseline column
+        # reports the DEVICE-level adaptive/dense service ratio instead
+        # (what `serve --adaptive-embed` buys a PCIe-attached host)
+        "vs_baseline": round(adapt_dev / max(dense_dev, 1e-9), 2),
+        "detail": {
+            "dense": results["dense"],
+            "adaptive": results["adaptive"],
+            "requests": args.batch * 6,
+            "max_batch": args.batch,
+            "batch_window_ms": 20.0,
+            "h2d_link_mbytes_per_sec": h2d_mbps,
+            "note": "e2e qps ships real pixels over the probed link "
+            "(~1.2 MB/frame) — link-bound here like the video config; "
+            "device_* rows drive the services' own compiled programs "
+            "with device-resident chained frames, so the adaptive/dense "
+            "ratio (vs_baseline) is the serving-surface win itself",
         },
     }
 
