@@ -298,14 +298,25 @@ class IdentifyService:
         return np.asarray(padded, np.uint8), scale
 
     def _run(self):
+        """Worker loop, pipelined one batch deep: batch N's device
+        programs run WHILE the worker gathers/letterboxes/dispatches
+        batch N+1; N resolves right after N+1 dispatches (its device
+        work has been overlapping), and immediately when the queue is
+        empty — sparse traffic pays no extra latency, saturated
+        traffic gets device/host overlap (and, with adaptive_embed,
+        hides the bucketed pipeline's count fetch entirely)."""
         closed = False
+        pending = None  # dispatched-but-unresolved previous batch ctx
         while not closed:
             try:
                 first = self._q.get(timeout=0.25)
             except queue.Empty:
+                if pending is not None:
+                    self._safe_resolve(pending)
+                    pending = None
                 continue
             if first is None:
-                return
+                break
             batch = [first]
             deadline = time.perf_counter() + self.window_s
             while len(batch) < self.max_batch:
@@ -321,13 +332,33 @@ class IdentifyService:
                     break
                 batch.append(nxt)
             try:
-                self._process(batch)
+                ctx = self._dispatch(batch)
             except Exception as e:  # pragma: no cover - defensive
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(e)
+                ctx = None
+            if pending is not None:
+                self._safe_resolve(pending)
+                pending = None
+            if ctx is not None:
+                if closed or self._q.empty():
+                    self._safe_resolve(ctx)
+                else:
+                    pending = ctx
+        if pending is not None:
+            self._safe_resolve(pending)
 
-    def _process(self, batch: List[_Request]):
+    def _safe_resolve(self, ctx):
+        try:
+            self._resolve(ctx)
+        except Exception as e:  # pragma: no cover - defensive
+            for req in ctx["batch"]:
+                if not req.future.done():
+                    req.future.set_exception(e)
+
+    def _dispatch(self, batch: List[_Request]) -> dict:
+        """Host preprocess + device program dispatch, NO host sync."""
         frames, scales = [], []
         for req in batch:
             padded, scale = self._letterbox(req.image)
@@ -336,30 +367,50 @@ class IdentifyService:
         pad_to = self.max_batch
         stacked = np.stack(frames + [frames[-1]] * (pad_to - len(frames)))
         fused = self.fuse_search
+        ctx = {"batch": batch, "scales": scales, "names_snap": None,
+               "n_rows": 0}
         if fused:
             # empty bank still runs the fused program: n_rows=0 masks
-            # every sim, t below becomes 0, names stay empty
+            # every sim, t in _resolve becomes 0, names stay empty
             bank_dev, n_rows, names_snap = self.bank.device_bank_padded(
                 sharding=self._bank_sharding
             )
+            ctx["names_snap"], ctx["n_rows"] = names_snap, n_rows
             if self.adaptive:
-                dets, feats, f_sims, f_idx, _n = self._bucketed.finish(
-                    self._bucketed.start(
-                        stacked, n_frames=len(batch),
-                        bank_padded=bank_dev, n_rows=n_rows,
-                    )
+                ctx["handle"] = self._bucketed.start(
+                    stacked, n_frames=len(batch),
+                    bank_padded=bank_dev, n_rows=n_rows,
                 )
             else:
-                dets, feats, f_sims, f_idx = self._fused(
+                ctx["out"] = self._fused(
                     jnp.asarray(stacked), bank_dev, jnp.int32(n_rows)
                 )
-            f_sims, f_idx = np.asarray(f_sims), np.asarray(f_idx)
         elif self.adaptive:
-            dets, feats, _n = self._bucketed.finish(
-                self._bucketed.start(stacked, n_frames=len(batch))
+            ctx["handle"] = self._bucketed.start(
+                stacked, n_frames=len(batch)
             )
         else:
-            dets, feats = self._program(jnp.asarray(stacked))
+            ctx["out"] = self._program(jnp.asarray(stacked))
+        return ctx
+
+    def _resolve(self, ctx: dict):
+        """Host fetch + per-request postprocess/future resolution."""
+        batch, scales = ctx["batch"], ctx["scales"]
+        names_snap, n_rows = ctx["names_snap"], ctx["n_rows"]
+        fused = self.fuse_search
+        f_sims = f_idx = None
+        if fused:
+            if self.adaptive:
+                dets, feats, f_sims, f_idx, _n = self._bucketed.finish(
+                    ctx["handle"]
+                )
+            else:
+                dets, feats, f_sims, f_idx = ctx["out"]
+            f_sims, f_idx = np.asarray(f_sims), np.asarray(f_idx)
+        elif self.adaptive:
+            dets, feats, _n = self._bucketed.finish(ctx["handle"])
+        else:
+            dets, feats = ctx["out"]
         # fused serving doesn't need the (B, K, 512) feature block on
         # host unless some request asked for MORE matches than the baked
         # top-k — skip the transfer otherwise (16 KB/frame, material on
