@@ -735,14 +735,20 @@ def bench_occ_adaptive(args, cfg, det_params, arc_params, log,
     )
 
     # chain each step's input on the previous step's device outputs so
-    # no runtime layer can elide/replay repeated identical executions
-    # (same discipline as bench_headline); chaining on program A's
-    # counts keeps the dependence ON DEVICE, so the pipelined loop
-    # below never inserts a host sync into the chain
+    # no runtime layer can elide/replay/drop executions (same
+    # discipline as bench_headline); chaining on program A's counts
+    # keeps the dependence ON DEVICE, so the pipelined loop below never
+    # inserts a host sync into the chain.
+    # CRITICAL for CROSS-program chains: the bump must be genuinely
+    # value-dependent — a `v*0+1` form CONSTANT-FOLDS, the chain then
+    # no longer depends on the measured program, and the async client
+    # can defer/drop the dangling executions entirely (observed: a
+    # 126 ms program "measured" at 38 ms). `1.0f + x*1e-38` is exactly
+    # 1.0 for any bounded x (below one ulp) yet unfoldable.
     @jax.jit
     def chain(frames, counts):
-        bump = (jnp.sum(counts) * 0 + 1).astype(jnp.uint8)
-        return frames + bump
+        tiny = jnp.sum(counts).astype(jnp.float32) * 1e-38
+        return frames + (1.0 + jnp.abs(tiny)).astype(jnp.uint8)
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
@@ -944,35 +950,61 @@ def bench_serve(args, cfg, det_params, arc_params, log):
             }
 
             # ---- device serve-shaped A/B through the service programs
-            frames = jnp.asarray(np.stack(pool[: args.batch]))
+            # tile the pool up to the FULL service batch (pool[:batch]
+            # would silently truncate to len(pool) and measure a
+            # smaller program than the service serves)
+            frames = jnp.asarray(
+                np.stack([pool[i % len(pool)] for i in range(args.batch)])
+            )
             bank_dev, n_rows, _ = svc.bank.device_bank_padded(
                 sharding=svc._bank_sharding
             )
 
+            # value-dependent but exactly-+1 bump (see bench_occ_adaptive:
+            # a foldable bump lets the async client drop the dangling
+            # program executions and report dispatch time as device time)
             @jax.jit
             def chain(fr, v):
-                return fr + (jnp.abs(jnp.sum(v)) * 0.0 + 1.0).astype(jnp.uint8)
+                tiny = jnp.sum(v).astype(jnp.float32) * 1e-38
+                return fr + (1.0 + jnp.abs(tiny)).astype(jnp.uint8)
 
+            iters = max(10, args.iters // 2)
             if adaptive:
-                def step(fr):
-                    _d, _f, sims, _i, _n = svc._bucketed(fr, bank_dev, n_rows)
-                    return sims
+                # the pipelined-worker shape: start(N+1) dispatched
+                # before finish(N) pays the count fetch (exactly what
+                # the service worker does one batch deep)
+                bk = svc._bucketed
+                pend = bk.start(frames, bank_padded=bank_dev, n_rows=n_rows)
+                frames = chain(frames, pend.counts)
+                _d, _f, sims, _i, _n = bk.finish(pend)
+                float(jnp.sum(sims))
+                t0 = time.time()
+                pend = bk.start(frames, bank_padded=bank_dev, n_rows=n_rows)
+                for _ in range(iters - 1):
+                    frames = chain(frames, pend.counts)
+                    nxt = bk.start(
+                        frames, bank_padded=bank_dev, n_rows=n_rows
+                    )
+                    _d, _f, sims, _i, _n = bk.finish(pend)
+                    pend = nxt
+                _d, _f, sims, _i, _n = bk.finish(pend)
+                float(jnp.sum(sims))
+                dt = time.time() - t0
             else:
                 def step(fr):
                     _d, _f, sims, _i = svc._fused(
                         fr, bank_dev, jnp.int32(n_rows)
                     )
                     return sims
-            sims = step(frames)
-            frames = chain(frames, sims)
-            float(jnp.sum(sims))
-            t0 = time.time()
-            iters = max(10, args.iters // 2)
-            for _ in range(iters):
                 sims = step(frames)
                 frames = chain(frames, sims)
-            float(jnp.sum(sims))
-            dt = time.time() - t0
+                float(jnp.sum(sims))
+                t0 = time.time()
+                for _ in range(iters):
+                    sims = step(frames)
+                    frames = chain(frames, sims)
+                float(jnp.sum(sims))
+                dt = time.time() - t0
             entry["device_valid_faces_per_sec"] = round(
                 args.batch * VALID * iters / dt, 1
             )
