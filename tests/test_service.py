@@ -586,3 +586,35 @@ def test_adaptive_service_matches_dense(rng):
 
     with pytest.raises(ValueError):
         IdentifyService(det, arc, bank, cfg, adaptive_embed=True, aot="x.frtz")
+
+
+def test_pipelined_worker_drains_on_close(rng):
+    """The worker holds one dispatched-but-unresolved batch in flight;
+    close() (and the shutdown sentinel arriving mid-gather) must still
+    resolve every outstanding future — no request may hang or be
+    dropped at shutdown."""
+    cfg = PipelineConfig(
+        det_input_size=128, compute_dtype="float32", pre_nms_topk=64,
+        max_faces=16,
+    )
+    det = init_on_host(lambda: scrfd.init_params(jax.random.PRNGKey(0)))
+    arc = init_on_host(
+        lambda: arcface.init_params(jax.random.PRNGKey(1), arch="iresnet18")
+    )
+    bank = GalleryBank()
+    svc = IdentifyService(
+        det, arc, bank, cfg, max_batch=2, batch_window_ms=5,
+        adaptive_embed=True,
+    )
+    imgs = [
+        rng.integers(0, 256, (96, 120, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    svc.identify(imgs[0], timeout=600.0)  # compile off the clock
+    # a burst larger than one batch, then immediate close: the worker
+    # may be holding a pending batch when the sentinel lands
+    futs = [svc.identify_async(im) for im in imgs]
+    svc.close()
+    for f in futs:
+        res = f.result(timeout=60.0)  # resolved, not hung
+        assert res.boxes.shape[0] == 8
+    assert svc.stats()["requests"] >= len(imgs) + 1
