@@ -383,7 +383,22 @@ def mode_enroll(args):
             continue
         names.append(os.path.splitext(os.path.basename(path))[0])
         images.append(image)
-    bank, enrolled = enroll_batch(detector, recognizer, names, images, bank=bank)
+    experts = None
+    if getattr(args, "experts", None):
+        from facerecognizeonnx_tpu.pipeline.api import FaceRecognizer
+
+        experts = []
+        for path in args.experts.split(","):
+            path = path.strip()
+            r = FaceRecognizer(recognizer.cfg)
+            if not r.load_model(path):
+                print(f"专家识别器加载失败: {path}")
+                sys.exit(-1)
+            experts.append(r.params)
+        print(f"专家并行注册: {len(experts)} 个识别器, 按姿态路由 (route_by_yaw)")
+    bank, enrolled = enroll_batch(
+        detector, recognizer, names, images, bank=bank, experts=experts
+    )
     bank.save(args.gallery)
     print(f"已注册 {len(enrolled)}/{len(paths)} 张人脸 → {args.gallery} (共 {len(bank)} 条)")
     return {
@@ -392,6 +407,7 @@ def mode_enroll(args):
         "requested": len(paths),
         "gallery": args.gallery,
         "gallery_size": len(bank),
+        "experts": len(experts) if experts else 0,
     }
 
 
@@ -1205,6 +1221,16 @@ def main(argv=None):
         "micro-batch instead of two; composes with --dp, excludes "
         "--sharded/--aot; requests asking for more than 5 matches fall "
         "back to the host-side search so results never shrink)",
+    )
+    parser.add_argument(
+        "--experts",
+        default=None,
+        metavar="W1,W2,...",
+        help="enroll: comma-separated same-architecture recognizer "
+        "weight files (per-pose/per-camera specialists) — each crop "
+        "routes to ONE expert by landmark yaw and embeds through the "
+        "expert-parallel all_to_all program (one expert resident per "
+        "mesh shard; overflow recovered by rerun)",
     )
     parser.add_argument(
         "--adaptive-embed",

@@ -29,7 +29,9 @@ def _bucket_detect_align(detector, names, images, cfg):
     ORIGINAL-resolution frames (full alignment quality — the letterboxed
     frame is only used for detection, like the reference which detects
     at 640 but aligns at source resolution, src/face_recognizer.cpp:93).
-    Returns (kept_names, crops (N, S, S, 3) u8).
+    Returns (kept_names, crops (N, S, S, 3) u8, kept_kps (N, 5, 2)
+    source-resolution landmarks — the routing signal for the
+    expert-parallel enroll path).
     """
     from facerecognizeonnx_tpu.detect.pipeline import detect_batch_program
     from facerecognizeonnx_tpu.embed.pipeline import align_faces_batch
@@ -55,6 +57,7 @@ def _bucket_detect_align(detector, names, images, cfg):
 
     kept_names: List[str] = []
     crops: List[np.ndarray] = []
+    kept_kps: List[np.ndarray] = []
     for shape, idxs in buckets.items():
         frames = np.stack([images[i] for i in idxs])
         detect_fn, align_fn = programs(shape)
@@ -77,7 +80,8 @@ def _bucket_detect_align(detector, names, images, cfg):
             if valid[j]:
                 kept_names.append(names[i])
                 crops.append(batch_crops[j].astype(np.uint8))
-    return kept_names, crops
+                kept_kps.append(kps[j])
+    return kept_names, crops, kept_kps
 
 
 def enroll_batch(
@@ -88,6 +92,8 @@ def enroll_batch(
     bank: Optional[GalleryBank] = None,
     cfg: Optional[PipelineConfig] = None,
     mesh=None,
+    experts: Optional[Sequence] = None,
+    expert_router=None,
 ) -> Tuple[GalleryBank, List[str]]:
     """Detect the best face per image, align all, embed as one batch.
 
@@ -96,19 +102,59 @@ def enroll_batch(
     in ONE data-parallel program (parallel/sharded_ops). Returns
     (bank, enrolled_names) — images with no detected face are skipped
     (reported by omission from enrolled_names).
+
+    experts: a list of E same-architecture recognizer param pytrees
+    (per-pose/per-camera fine-tunes). Each crop is routed to ONE
+    specialist by `expert_router(kps, E) -> int ids` (default:
+    parallel.expert_parallel.route_by_yaw on the detected landmarks)
+    and embedded by it through the expert-parallel dispatch/combine
+    program (one expert resident per shard of the mesh's "expert"
+    axis; capacity overflow recovered by the rerun policy, so every
+    kept face gets its specialist's feature). `recognizer` is unused
+    on this path. The reference embeds everything with one model
+    (src/main.cpp:281); this is the production multi-specialist form.
+    CLI: `enroll --experts w1.npz,w2.npz`.
     """
     cfg = cfg or detector.cfg
     bank = bank or GalleryBank(cfg.feature_dim)
 
-    kept_names, crops = _bucket_detect_align(detector, names, images, cfg)
+    kept_names, crops, kept_kps = _bucket_detect_align(
+        detector, names, images, cfg
+    )
     if not crops:
         return bank, []
 
-    from facerecognizeonnx_tpu.parallel.sharded_ops import sharded_batch_embed
+    if experts is not None:
+        from facerecognizeonnx_tpu.parallel.expert_parallel import (
+            ep_embed_crops,
+            route_by_yaw,
+        )
 
-    feats = np.asarray(
-        sharded_batch_embed(recognizer.params, np.stack(crops), cfg, mesh=mesh)
-    )
+        router = expert_router or route_by_yaw
+        ids = np.asarray(router(np.stack(kept_kps), len(experts)))
+        feats, routed = ep_embed_crops(
+            list(experts), ids, np.stack(crops), cfg, mesh=mesh
+        )
+        # overflow="rerun" routes every valid id; a False here would be
+        # a router bug (id outside [0, E)) — surface it, never enroll a
+        # zero feature silently
+        if not routed.all():
+            bad = int((~routed).sum())
+            raise ValueError(
+                f"expert router produced {bad} unroutable ids "
+                f"(outside [0, {len(experts)}))"
+            )
+        feats = np.asarray(feats)
+    else:
+        from facerecognizeonnx_tpu.parallel.sharded_ops import (
+            sharded_batch_embed,
+        )
+
+        feats = np.asarray(
+            sharded_batch_embed(
+                recognizer.params, np.stack(crops), cfg, mesh=mesh
+            )
+        )
     bank.add_batch(kept_names, feats)
     return bank, kept_names
 
@@ -126,7 +172,7 @@ def detect_align_crops(
     (FaceRecognizer.quantize's calib_crops parameter)."""
     cfg = cfg or detector.cfg
     names = [str(i) for i in range(len(images))]
-    _, crops = _bucket_detect_align(detector, names, list(images), cfg)
+    _, crops, _ = _bucket_detect_align(detector, names, list(images), cfg)
     if not crops:
         return np.zeros((0, cfg.rec_input_size, cfg.rec_input_size, 3), np.uint8)
     return np.stack(crops[:max_crops])

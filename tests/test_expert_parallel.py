@@ -188,6 +188,47 @@ def test_stack_experts_rejects_mixed_arch(experts):
         stack_experts([experts[0], other])
 
 
+def test_enroll_batch_with_experts(experts):
+    """The EP product consumer: enroll_batch(experts=[...]) routes each
+    detected face's crop to its yaw-bucketed specialist and enrolls
+    that specialist's exact feature (reference analog: the single-model
+    embed at src/main.cpp:281)."""
+    from facerecognizeonnx_tpu.config import PipelineConfig
+    from facerecognizeonnx_tpu.parallel.expert_parallel import route_by_yaw
+    from facerecognizeonnx_tpu.pipeline.api import FaceDetector
+    from facerecognizeonnx_tpu.pipeline.enroll import (
+        _bucket_detect_align,
+        enroll_batch,
+    )
+
+    cfg = PipelineConfig(
+        det_input_size=128, compute_dtype="float32", pre_nms_topk=64,
+        rec_arch="iresnet18", rec_input_size=32,
+    )
+    detector = FaceDetector(cfg)
+    detector.load_model()
+    rng = np.random.default_rng(11)
+    images = [
+        rng.integers(0, 256, (160, 200, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    names = [f"p{i}" for i in range(4)]
+    mesh = make_mesh(("expert",), (2,), devices=jax.devices()[:2])
+
+    bank, enrolled = enroll_batch(
+        detector, None, names, images, cfg=cfg, mesh=mesh,
+        experts=experts[:2],
+    )
+    assert enrolled  # random-weight detector fires on noise
+    assert len(bank) == len(enrolled)
+
+    # oracle: same crops, same router, dense per-expert embed
+    kept, crops, kps = _bucket_detect_align(detector, names, images, cfg)
+    assert kept == enrolled
+    ids = np.asarray(route_by_yaw(np.stack(kps), 2))
+    want = _dense_oracle(experts[:2], ids, np.stack(crops))
+    np.testing.assert_allclose(bank.features, want, rtol=1e-4, atol=1e-5)
+
+
 def test_route_by_yaw_buckets():
     def kps(nose_r):
         # eyes at x=30/70; nose_r is the nose's relative position
