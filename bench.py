@@ -347,12 +347,7 @@ def main():
         """Same fused pipeline with the w600k_mbf-class recognizer
         (models/mobilefacenet.py) — the fast buffalo_s/sc family member;
         labeled separately, never the headline metric."""
-        from facerecognizeonnx_tpu.models import mobilefacenet as mbf
-
-        mbf_params = init_on_host(
-            lambda: mbf.fold_inference_params(mbf.init_params(jax.random.PRNGKey(2)))
-        )
-        out = bench_headline(args, cfg, det_params, mbf_params, log)
+        out = bench_headline(args, cfg, det_params, _mbf_params(), log)
         out["metric"] = "faces/sec/chip end-to-end (detect+align+mbf embed)"
         return out
 
@@ -361,24 +356,7 @@ def main():
         (models/quant.py): int8 MXU convs at 2x bf16 peak + half the
         activation HBM traffic. Optional deployment config — the bf16
         headline stays the parity-bearing metric."""
-        from facerecognizeonnx_tpu.models import quant
-
-        rng = np.random.default_rng(3)
-        calib = jnp.asarray(
-            (rng.integers(0, 256, (64, 112, 112, 3)).astype(np.float32) - 127.5)
-            / 128.0
-        )
-        # calibration as ONE jitted program (eager would be ~110 tunnel
-        # round-trips on the axon backend)
-        # min_channels=128: selective int8 — only the wide convs where
-        # v5e int8 measures faster than bf16 (tools/exp_int8_conv.py)
-        qstate = jax.jit(
-            lambda p, c: quant.quantize_recognizer(
-                arcface.apply, p, c, min_channels=128
-            )
-        )(arc_params, calib)
-        rec = quant.QuantizedRecognizer(arcface.apply, arc_params, qstate)
-        out = bench_headline(args, cfg, det_params, rec, log)
+        out = bench_headline(args, cfg, det_params, _q8_recognizer(), log)
         out["metric"] = "faces/sec/chip end-to-end (detect+align+int8 embed)"
         return out
 
@@ -389,9 +367,7 @@ def main():
         from facerecognizeonnx_tpu.models import mobilefacenet as mbf
         from facerecognizeonnx_tpu.models import quant
 
-        mbf_params = init_on_host(
-            lambda: mbf.fold_inference_params(mbf.init_params(jax.random.PRNGKey(2)))
-        )
+        mbf_params = _mbf_params()
         rng = np.random.default_rng(4)
         calib = jnp.asarray(
             (rng.integers(0, 256, (64, 112, 112, 3)).astype(np.float32) - 127.5)
@@ -488,6 +464,10 @@ def main():
         )
 
     def _q8_recognizer():
+        """Selective int8 r50 (min_channels=128: only the wide convs
+        where v5e int8 measures faster than bf16, tools/exp_int8_conv.py);
+        calibration is ONE jitted program (eager would be ~110 tunnel
+        round-trips). Shared by headline_q8 and the adaptive composite."""
         from facerecognizeonnx_tpu.models import quant
 
         rng = np.random.default_rng(3)
@@ -832,13 +812,17 @@ def bench_occ_adaptive(args, cfg, det_params, arc_params, log,
         crops_c, perm, valid_flat = pend.ops
         pipe.finish(pend)
 
+        # value-dependent bumps (see the chain above: foldable forms let
+        # the async client drop the dangling executions)
         @jax.jit
         def chain_frames(fr, c):
-            return fr + (jnp.abs(jnp.sum(c)) * 0.0 + 1.0).astype(jnp.uint8)
+            tiny = jnp.sum(c).astype(jnp.float32) * 1e-38
+            return fr + (1.0 + jnp.abs(tiny)).astype(jnp.uint8)
 
         @jax.jit
         def chain_crops(c, f):
-            return c + (jnp.abs(jnp.sum(f)) * 0.0 + 1e-6).astype(c.dtype)
+            tiny = jnp.sum(f).astype(jnp.float32) * 1e-38
+            return c + jnp.abs(tiny).astype(c.dtype)
 
         # program A alone
         fr = frames

@@ -271,7 +271,17 @@ def ep_embed_crops(
         raise ValueError(f"overflow must be 'rerun' or 'drop', got {overflow!r}")
     stacked, E = stack_experts(params_list)
     if mesh is None:
-        mesh = make_mesh((axis,))
+        if data_axis is not None:
+            raise ValueError(
+                "data_axis requires an explicit mesh carrying both axes "
+                "(make_mesh((data_axis, axis), shape))"
+            )
+        # default mesh: the LARGEST device subset the expert count
+        # divides — E=2 on an 8-chip host must run on 2 shards, not
+        # raise '2 experts not divisible over 8 shards'
+        n_dev = len(jax.devices())
+        n = max(d for d in range(1, min(E, n_dev) + 1) if E % d == 0)
+        mesh = make_mesh((axis,), devices=jax.devices()[:n])
     batch_axes = (data_axis, axis) if data_axis else (axis,)
     n_shards = int(np.prod([mesh.shape[a] for a in batch_axes]))
 

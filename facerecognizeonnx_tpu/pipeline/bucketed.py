@@ -367,9 +367,11 @@ class BucketedEmbedPipeline:
         sync. n_frames: how many leading frames are REAL (the rest are
         pad-by-repeat copies, excluded from occupancy statistics).
         bank_padded/n_rows are required iff search_top_k was set."""
-        if (bank_padded is None) != (self.search_top_k is None):
+        if (bank_padded is None) != (self.search_top_k is None) or (
+            self.search_top_k is not None and n_rows is None
+        ):
             raise ValueError(
-                "bank_padded/n_rows must be passed exactly when the "
+                "bank_padded AND n_rows must be passed exactly when the "
                 "pipeline was built with search_top_k"
             )
         if self.mesh is not None:

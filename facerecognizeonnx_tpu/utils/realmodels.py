@@ -47,14 +47,21 @@ def _ort_session(path: str):
     independent cross-check — for free."""
     try:
         import onnxruntime
-    except ImportError:
+    except Exception:  # incl. broken native libs (OSError on import)
         return None
     try:
-        return onnxruntime.InferenceSession(
-            path, providers=["CPUExecutionProvider"]
-        )
-    except TypeError:  # older ORT without the providers kwarg
-        return onnxruntime.InferenceSession(path)
+        try:
+            return onnxruntime.InferenceSession(
+                path, providers=["CPUExecutionProvider"]
+            )
+        except TypeError:  # older ORT without the providers kwarg
+            return onnxruntime.InferenceSession(path)
+    except Exception:
+        # a degraded ORT install (or an ORT that can't load this graph)
+        # must not make the gate WORSE than having no ORT: fall back to
+        # the in-repo oracle; runtime DIVERGENCE (session works, numbers
+        # differ) still fails the gate above
+        return None
 
 
 def _ort_run(session, x_nchw: np.ndarray):

@@ -272,9 +272,11 @@ def test_fused_search_matches_dense_matches(setup):
     np.testing.assert_allclose(
         np.asarray(sims_b)[valid], np.asarray(sims_d)[valid], atol=1e-5
     )
-    # bank omission / unexpected bank both rejected
+    # bank omission / missing n_rows / unexpected bank all rejected
     with pytest.raises(ValueError):
         pipe.start(frames)
+    with pytest.raises(ValueError, match="n_rows"):
+        pipe.start(frames, bank_padded=bank_pad)
     with pytest.raises(ValueError):
         BucketedEmbedPipeline(det, arc, cfg, max_faces_embed=K).start(
             frames, bank_padded=bank_pad, n_rows=16

@@ -188,6 +188,22 @@ def test_stack_experts_rejects_mixed_arch(experts):
         stack_experts([experts[0], other])
 
 
+def test_default_mesh_sizes_to_expert_count(experts, crops):
+    """mesh=None must pick a device subset the expert count divides:
+    2 experts on the 8-virtual-device host ran on 8 shards before and
+    raised 'not divisible' — the CLI --experts DOA case."""
+    ids = np.array([0, 1, 1, 0, 1, 0, 0, 1])
+    feats, routed = ep_embed_crops(experts[:2], ids, crops, CFG)
+    assert np.asarray(routed).all()
+    np.testing.assert_allclose(
+        np.asarray(feats), _dense_oracle(experts[:2], ids, crops),
+        rtol=1e-5, atol=1e-6,
+    )
+    # data_axis without an explicit mesh is ambiguous — clear error
+    with pytest.raises(ValueError, match="data_axis"):
+        ep_embed_crops(experts[:2], ids, crops, CFG, data_axis="data")
+
+
 def test_enroll_batch_with_experts(experts):
     """The EP product consumer: enroll_batch(experts=[...]) routes each
     detected face's crop to its yaw-bucketed specialist and enrolls
